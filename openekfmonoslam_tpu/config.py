@@ -1,0 +1,295 @@
+"""Typed configuration with a loader for the reference's OpenCV-YML files.
+
+The reference configures itself from OpenCV ``FileStorage`` YML files whose
+top-level ``RunConfiguration`` section selects one named profile per
+subsystem (ConfigurationManager.cpp:74-111).  All values are strings that
+the C++ readers parse with per-key defaults (ExtendedKalmanFilterConfiguration
+.cpp:104-140).  This module reads those files *unchanged* (e.g.
+``/root/reference/experiments/s3/config.yml``) into typed dataclasses, and
+adds the TPU-build-only knobs (slot counts, dtypes, gate scale) that have no
+reference counterpart.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+
+# ---------------------------------------------------------------------------
+# Dataclasses
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class CameraCalibration:
+    """Pinhole + 2-term radial distortion calibration.
+
+    Field meanings follow CameraCalibration.h:45-61 of the reference: the
+    distortion polynomial operates on *metric* sensor coordinates obtained by
+    scaling pixel offsets with the pixel pitch (dx, dy) in mm.
+    """
+
+    pixels_x: int = 640
+    pixels_y: int = 480
+    fx: float = 525.060143149240389
+    fy: float = 524.245488213640215
+    k1: float = -7.613e-3
+    k2: float = 9.388e-4
+    cx: float = 308.649343121753361
+    cy: float = 236.536005491807288
+    dx: float = 0.007021618750000
+    dy: float = 0.007027222916667
+    pixel_error_x: float = 1.0
+    pixel_error_y: float = 1.0
+    angular_vision_x: float = 62.720770890650357  # degrees, half-FOV gate
+    angular_vision_y: float = 49.163954709609868
+
+
+@dataclass(frozen=True)
+class EKFParams:
+    """Filter parameters (ExtendedKalmanFilterParameters.h:44-75)."""
+
+    init_inv_depth_rho: float = 1.0
+    init_linear_accel_sd: float = 0.001
+    init_angular_accel_sd: float = 0.004
+    linear_accel_sd: float = 0.0007
+    angular_accel_sd: float = 0.002
+    inverse_depth_rho_sd: float = 1.0
+    max_map_size: int = 240            # bound on covariance rows (EKF.cpp:584)
+    max_map_features_count: int = 0    # 0 = unbounded (EKF.cpp:583)
+    always_remove_unseen_map_features: bool = True
+    map_management_frequency: int = 1
+    detect_new_features_image_areas_divide_times: int = 2
+    detect_new_features_image_mask_ellipse_size: float = 10.0
+    matching_comp_coef_second_best_vs_first: float = 1.0
+    min_matches_per_image: int = 60
+    good_feature_matching_percent: float = 0.5
+    ransac_threshold_predict_distance: float = 1.0
+    ransac_all_inliers_probability: float = 0.99
+    ransac_chi2_threshold: float = 5.9915
+    inverse_depth_linearity_index_threshold: float = 0.1
+    reserve_features_depth: int = 1024       # parsed, unused (slot model)
+    reserve_features_inv_depth: int = 1024
+
+
+@dataclass(frozen=True)
+class DetectorConfig:
+    """Corner detector settings (FeatureDetectorFactory.cpp profiles).
+
+    The TPU build implements a FAST-segment detector with Shi-Tomasi
+    fallback scoring; STAR/SURF/SIFT/ORB profiles from reference configs are
+    mapped onto it (detector choice affects which corners exist, and parity
+    is measured by trajectory ATE, not per-keypoint equality -- SURVEY.md
+    section 7.3).
+    """
+
+    kind: str = "FAST"
+    threshold: float = 20.0
+    nonmax_radius: int = 2
+
+
+@dataclass(frozen=True)
+class DescriptorConfig:
+    """Binary descriptor settings (DescriptorExtractorFactory.cpp profiles).
+
+    BRIEF-256: 256 smoothed-pixel comparisons on a 33x33 patch, packed into
+    8 uint32 words, matched with Hamming distance (Matching.cpp:74-90).
+    """
+
+    kind: str = "BRIEF"
+    n_bits: int = 256
+    patch_size: int = 33
+    blur_sigma: float = 2.0
+    pattern_seed: int = 7
+
+
+@dataclass(frozen=True)
+class SlamConfig:
+    """Full engine configuration = reference profiles + TPU-build knobs."""
+
+    camera: CameraCalibration = field(default_factory=CameraCalibration)
+    ekf: EKFParams = field(default_factory=EKFParams)
+    detector: DetectorConfig = field(default_factory=DetectorConfig)
+    descriptor: DescriptorConfig = field(default_factory=DescriptorConfig)
+
+    # --- TPU-build-only knobs (no reference counterpart) ---
+    max_features: int = 96       # feature slots (static shape)
+    max_keypoints: int = 512     # candidate corners kept per frame
+    dtype: str = "float32"       # filter dtype ("float64" for golden tests)
+    # The reference rasterizes ellipses with half-axes 2*sqrt(eig*chi2_95)
+    # (EKFMath.cpp:292-293 + Draw.cpp:55), i.e. the 95% ellipse scaled 2x in
+    # linear size.  gate_scale matches that acceptance region; set 1.0 for a
+    # true 95% gate.
+    gate_scale: float = 2.0
+    chi2_95_2: float = 5.9915
+    # Upper bound on RANSAC hypotheses actually evaluated (reference caps at
+    # 1000, 1PointRansac.cpp:116, but never exceeds the match count).
+    max_hypotheses: int = 96
+    seed: int = 0
+
+    @property
+    def state_dim(self) -> int:
+        """13 camera dims + 6 per feature slot."""
+        return 13 + 6 * self.max_features
+
+
+# ---------------------------------------------------------------------------
+# Reference-YML loader
+# ---------------------------------------------------------------------------
+
+_NUM_RE = re.compile(r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?$")
+
+
+def _parse_scalar(v: str) -> Any:
+    v = v.strip().strip('"')
+    low = v.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    if _NUM_RE.match(v):
+        f = float(v)
+        if f.is_integer() and ("." not in v and "e" not in low):
+            return int(f)
+        return f
+    return v
+
+
+def parse_opencv_yml(path: str) -> dict:
+    """Parse an OpenCV FileStorage YML file into nested dicts.
+
+    Handles the ``%YAML:1.0`` directive and the 2-space-indented
+    ``key: "value"`` structure used by every config file in the reference
+    (e.g. experiments/s3/config.yml, samples/EKF/config.yml).
+    """
+    root: dict = {}
+    # stack of (indent, dict)
+    stack: list[tuple[int, dict]] = [(-1, root)]
+    with open(path) as f:
+        for raw in f:
+            line = raw.rstrip("\n")
+            if not line.strip() or line.lstrip().startswith(("%", "#", "---")):
+                continue
+            indent = len(line) - len(line.lstrip())
+            key, _, value = line.strip().partition(":")
+            value = value.strip()
+            while stack and indent <= stack[-1][0]:
+                stack.pop()
+            parent = stack[-1][1]
+            if value == "":
+                child: dict = {}
+                parent[key] = child
+                stack.append((indent, child))
+            else:
+                parent[key] = _parse_scalar(value)
+    return root
+
+
+_EKF_KEYMAP = {
+    "InitInvDepthRho": "init_inv_depth_rho",
+    "InitLinearAccelSD": "init_linear_accel_sd",
+    "InitAngularAccelSD": "init_angular_accel_sd",
+    "LinearAccelSD": "linear_accel_sd",
+    "AngularAccelSD": "angular_accel_sd",
+    "InverseDepthRhoSD": "inverse_depth_rho_sd",
+    "MaxMapSize": "max_map_size",
+    "MaxMapFeaturesCount": "max_map_features_count",
+    "AlwaysRemoveUnseenMapFeatures": "always_remove_unseen_map_features",
+    "MapManagementFrequency": "map_management_frequency",
+    "DetectNewFeaturesImageAreasDivideTimes":
+        "detect_new_features_image_areas_divide_times",
+    "DetectNewFeaturesImageMaskEllipseSize":
+        "detect_new_features_image_mask_ellipse_size",
+    "MatchingCompCoefSecondBestVSFirst":
+        "matching_comp_coef_second_best_vs_first",
+    "MinMatchesPerImage": "min_matches_per_image",
+    "GoodFeatureMatchingPercent": "good_feature_matching_percent",
+    "RansacThresholdPredictDistance": "ransac_threshold_predict_distance",
+    "RansacAllInliersProbability": "ransac_all_inliers_probability",
+    "RansacChi2Threshold": "ransac_chi2_threshold",
+    "InverseDepthLinearityIndexThreshold":
+        "inverse_depth_linearity_index_threshold",
+    "ReserveFeaturesDepth": "reserve_features_depth",
+    "ReserveFeaturesInvDepth": "reserve_features_inv_depth",
+}
+
+_CAM_KEYMAP = {
+    "PixelsX": "pixels_x", "PixelsY": "pixels_y",
+    "FX": "fx", "FY": "fy", "K1": "k1", "K2": "k2",
+    "CX": "cx", "CY": "cy", "DX": "dx", "DY": "dy",
+    "PixelErrorX": "pixel_error_x", "PixelErrorY": "pixel_error_y",
+    "AngularVisionX": "angular_vision_x", "AngularVisionY": "angular_vision_y",
+}
+
+
+def _map_section(section: dict, keymap: dict, cls, current=None) -> Any:
+    kwargs = dict(dataclasses.asdict(current)) if current is not None else {}
+    for yml_key, value in section.items():
+        py_key = keymap.get(yml_key)
+        if py_key is not None:
+            kwargs[py_key] = value
+    return cls(**kwargs)
+
+
+def load_config(path: str, **overrides) -> SlamConfig:
+    """Load a reference-format config file into a :class:`SlamConfig`.
+
+    Mirrors ConfigurationManager::loadConfigurationFromFile
+    (ConfigurationManager.cpp:74-111): the RunConfiguration section names one
+    profile per subsystem.  ``overrides`` sets TPU-build-only knobs
+    (max_features, dtype, ...).
+    """
+    doc = parse_opencv_yml(path)
+    run = doc.get("RunConfiguration", {})
+
+    cfg = SlamConfig()
+
+    ekf_profile = run.get("ExtendedKalmanFilter")
+    if ekf_profile and ekf_profile in doc.get("ExtendedKalmanFilter", {}):
+        cfg = dataclasses.replace(
+            cfg,
+            ekf=_map_section(doc["ExtendedKalmanFilter"][ekf_profile],
+                             _EKF_KEYMAP, EKFParams, cfg.ekf),
+        )
+
+    cam_profile = run.get("CameraCalibration")
+    if cam_profile and cam_profile in doc.get("CameraCalibration", {}):
+        cfg = dataclasses.replace(
+            cfg,
+            camera=_map_section(doc["CameraCalibration"][cam_profile],
+                                _CAM_KEYMAP, CameraCalibration, cfg.camera),
+        )
+
+    det_profile = run.get("FeatureDetector")
+    if det_profile and det_profile in doc.get("FeatureDetector", {}):
+        section = doc["FeatureDetector"][det_profile]
+        kind = str(section.get("Type", "FAST")).upper()
+        threshold = float(section.get("Threshold", 20.0))
+        if kind not in ("FAST",):
+            # STAR/SURF/SIFT/ORB map onto the TPU FAST+Shi-Tomasi detector.
+            threshold = 20.0
+        cfg = dataclasses.replace(
+            cfg, detector=DetectorConfig(kind="FAST", threshold=threshold))
+
+    desc_profile = run.get("DescriptorExtractor")
+    if desc_profile and desc_profile in doc.get("DescriptorExtractor", {}):
+        # All descriptor profiles map onto BRIEF-256/Hamming in the TPU build.
+        cfg = dataclasses.replace(cfg, descriptor=DescriptorConfig())
+
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+    return cfg
+
+
+def auto_max_features(ekf: EKFParams) -> int:
+    """Pick a slot count that can hold the reference's working set.
+
+    The map holds roughly the visible features (unseen ones are culled when
+    AlwaysRemoveUnseenMapFeatures is set, EKF.cpp:582-586) which tracks
+    MinMatchesPerImage, plus headroom for the MaxMapSize covariance bound.
+    """
+    by_map_size = (ekf.max_map_size - 13) // 6 if ekf.max_map_size else 0
+    want = max(ekf.min_matches_per_image + 36, by_map_size + 8)
+    return int(math.ceil(want / 8) * 8)

@@ -1,0 +1,173 @@
+"""Map management: counters, culling, and inverse-depth -> XYZ conversion.
+
+Reference: MapManagement.cpp + the orchestration at EKF.cpp:572-612.
+Per frame: update predicted/matched counters and refresh inlier descriptors
+(:74-113); remove features whose inlier ratio dropped below
+GoodFeatureMatchingPercent (:279-307); remove currently-unseen features
+under map-size pressure (EKF.cpp:582-586); convert at most one
+inverse-depth feature to XYZ when its linearity index falls below threshold
+(:311-523).
+
+TPU-first departures: removal is a masked zeroing of P rows/columns and a
+cleared active bit (no compaction/re-basing, MapManagement.cpp:168-259);
+conversion rewrites one slot's 6-dim block to a 3-dim block in place via
+dynamic slices and retires the last 3 dims.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from openekfmonoslam_tpu.core import quaternion as quat
+from openekfmonoslam_tpu.filter.state import (
+    CAM_DIM,
+    FEAT_DIM,
+    SlamState,
+    dim_active_mask,
+    zero_inactive,
+)
+
+
+def update_counters(state: SlamState, predicted: jnp.ndarray,
+                    inlier: jnp.ndarray, inlier_desc: jnp.ndarray
+                    ) -> SlamState:
+    """Counters + descriptor refresh (updateMapFeatures, MapManagement.cpp:74-113)."""
+    return state._replace(
+        times_predicted=state.times_predicted + predicted.astype(jnp.int32),
+        times_matched=state.times_matched + inlier.astype(jnp.int32),
+        descriptors=jnp.where(inlier[:, None], inlier_desc,
+                              state.descriptors),
+    )
+
+
+def remove_features(state: SlamState, remove: jnp.ndarray) -> SlamState:
+    """Deactivate slots: zero their P rows/cols and state dims.
+
+    Equal to the reference's row/column deletion (MapManagement.cpp:168-259)
+    under the masked-P invariant -- remaining blocks are untouched.
+    """
+    new_active = state.active & ~remove
+    st = state._replace(active=new_active)
+    dim_mask = dim_active_mask(st)
+    return st._replace(
+        x=st.x.at[CAM_DIM:].set(
+            jnp.where(dim_mask[CAM_DIM:], st.x[CAM_DIM:], 0.0)),
+        P=zero_inactive(st.P, dim_mask),
+        is_xyz=st.is_xyz & new_active,
+    )
+
+
+def bad_feature_mask(state: SlamState, good_percent: float) -> jnp.ndarray:
+    """Features whose inlier ratio fell below threshold
+    (removeBadMapFeatures, MapManagement.cpp:279-307).  Never-predicted
+    features are kept (the reference's 0/0 NaN compares false)."""
+    predicted = state.times_predicted
+    ratio = state.times_matched.astype(jnp.float32) / jnp.maximum(predicted, 1)
+    return state.active & (predicted > 0) & (ratio < good_percent)
+
+
+def linearity_index(state: SlamState) -> jnp.ndarray:
+    """Civera linearity index per slot (computeLinearityIndex,
+    MapManagement.cpp:311-339).
+
+    L = 4 * (sigma_rho / rho^2) * cos(alpha) / d_cam, with alpha the
+    parallax angle between the rays camera->point and anchor->point.
+    Returns +inf for slots that are inactive or already XYZ.
+    """
+    F = state.n_features
+    feats = state.features                                   # (F, 6)
+    rho = feats[:, 5]
+    rho_dim = CAM_DIM + FEAT_DIM * jnp.arange(F) + 5
+    sigma_rho = jnp.sqrt(jnp.abs(state.P[rho_dim, rho_dim]))
+    rho_safe = jnp.where(jnp.abs(rho) < 1e-12, 1e-12, rho)
+    sigma_d = sigma_rho / (rho_safe * rho_safe)
+
+    m = jax.vmap(quat.directional_vector)(feats[:, 3], feats[:, 4])  # (F, 3)
+    xyz = feats[:, 0:3] + m / rho_safe[:, None]              # (F, 3)
+    to_cam = xyz - state.r[None, :]
+    to_anchor = xyz - feats[:, 0:3]
+    d_cam = jnp.linalg.norm(to_cam, axis=-1)
+    d_anchor = jnp.linalg.norm(to_anchor, axis=-1)
+    denom = jnp.maximum(d_cam * d_anchor, 1e-20)
+    cos_alpha = jnp.sum(to_cam * to_anchor, axis=-1) / denom
+    li = 4.0 * sigma_d * cos_alpha / jnp.maximum(d_cam, 1e-20)
+    eligible = state.active & ~state.is_xyz
+    return jnp.where(eligible, li, jnp.inf)
+
+
+def convert_one_to_xyz(state: SlamState, threshold: float) -> SlamState:
+    """Convert the first eligible slot with linearity index below threshold
+    (convertMapFeaturesInverseDepthToDepth, MapManagement.cpp:494-523: at
+    most one conversion per frame).
+
+    The 6-dim inverse-depth block collapses to 3 XYZ dims through the 3x6
+    Jacobian J = [I | dm/dtheta / rho | dm/dphi / rho | -m / rho^2]
+    (convertToDepth, MapManagement.cpp:343-385); the slot's last 3 dims are
+    retired (zero P rows/cols).
+    """
+    li = linearity_index(state)
+    below = li < threshold
+    slot = jnp.argmax(below)                       # first True in slot order
+    do = jnp.any(below)
+
+    feats = state.features
+    f = feats[slot]
+    theta, phi, rho = f[3], f[4], f[5]
+    rho_safe = jnp.where(jnp.abs(rho) < 1e-12, 1e-12, rho)
+    m = quat.directional_vector(theta, phi)
+    xyz = f[0:3] + m / rho_safe
+
+    dtype = state.P.dtype
+    cp, sp = jnp.cos(phi), jnp.sin(phi)
+    ct, st_ = jnp.cos(theta), jnp.sin(theta)
+    dm_dtheta = jnp.stack([cp * ct, jnp.zeros_like(cp), -cp * st_])
+    dm_dphi = jnp.stack([-sp * st_, -cp, -sp * ct])
+    J = jnp.concatenate([
+        jnp.eye(3, dtype=dtype),
+        (dm_dtheta / rho_safe)[:, None],
+        (dm_dphi / rho_safe)[:, None],
+        (-m / (rho_safe * rho_safe))[:, None],
+    ], axis=1)                                      # (3, 6)
+
+    P = state.P
+    N = P.shape[0]
+    off = (CAM_DIM + FEAT_DIM * slot).astype(jnp.int32)
+    rows6 = jax.lax.dynamic_slice(P, (off, jnp.int32(0)), (FEAT_DIM, N))
+    cols6 = jax.lax.dynamic_slice(P, (jnp.int32(0), off), (N, FEAT_DIM))
+    P66 = jax.lax.dynamic_slice(P, (off, off), (FEAT_DIM, FEAT_DIM))
+
+    new_rows = jnp.zeros((FEAT_DIM, N), dtype=dtype).at[0:3].set(J @ rows6)
+    new_cols = jnp.zeros((N, FEAT_DIM), dtype=dtype).at[:, 0:3].set(
+        cols6 @ J.T)
+    new_block = jnp.zeros((FEAT_DIM, FEAT_DIM), dtype=dtype).at[0:3, 0:3].set(
+        J @ P66 @ J.T)
+
+    P_new = jax.lax.dynamic_update_slice(P, new_rows, (off, jnp.int32(0)))
+    P_new = jax.lax.dynamic_update_slice(P_new, new_cols, (jnp.int32(0), off))
+    P_new = jax.lax.dynamic_update_slice(P_new, new_block, (off, off))
+
+    feat_new = jnp.concatenate([xyz, jnp.zeros((3,), dtype=dtype)])
+    x_new = jax.lax.dynamic_update_slice(state.x, feat_new, (off,))
+
+    return state._replace(
+        x=jnp.where(do, x_new, state.x),
+        P=jnp.where(do, P_new, state.P),
+        is_xyz=state.is_xyz.at[slot].set(do | state.is_xyz[slot]),
+    )
+
+
+def map_pressure(state: SlamState, needed: jnp.ndarray,
+                 always_remove_unseen: bool, max_map_features: int,
+                 max_map_size: int) -> jnp.ndarray:
+    """Unseen-removal trigger (EKF.cpp:582-584)."""
+    live_dims = jnp.sum(dim_active_mask(state).astype(jnp.int32))
+    n_feat = jnp.sum(state.active.astype(jnp.int32))
+    cond = jnp.asarray(always_remove_unseen)
+    if max_map_features > 0:
+        cond = cond | (n_feat + needed > max_map_features)
+    if max_map_size > 0:
+        cond = cond | (live_dims + needed * 6 > max_map_size)
+    return (needed > 0) & cond

@@ -1,0 +1,162 @@
+"""Measurement prediction: h(x), Jacobians H, and innovation covariances.
+
+Reference: MeasurementPrediction.cpp.  For every map feature the pipeline
+computes the predicted distorted pixel (world -> camera frame -> pinhole
+projection -> re-distortion, :203-265), a visibility gate (:162-181), the
+2-row measurement Jacobian H_i = [dh/d(cam pose) | dh/d(feature)]
+(:273-589), and the per-feature innovation covariance
+S_i = H_i P H_i^T + I (identity measurement noise on this path, :647-653).
+
+TPU-first departures:
+  * every slot is processed at once under ``vmap`` -- the reference's
+    per-feature loop (:681-699) disappears;
+  * H_i is produced by jax.jacfwd through the *exact* measurement function,
+    including the unrolled Newton distortion inversion -- replacing ~300
+    lines of hand chain rule (:273-589) and their transcription bugs (e.g.
+    the jacobian[1]/jacobian[2] slip at :371-373, documented in SURVEY.md);
+  * visibility is a mask, not a compacted vector; invisible slots carry
+    zero Jacobians and S_i = I so downstream masked algebra stays finite.
+
+h depends only on (r, q) of the camera and the slot's own 6 parameters, so
+Jacobians are computed w.r.t. a 7+6 vector and scattered into padded form.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from openekfmonoslam_tpu.core import camera as cam_mod
+from openekfmonoslam_tpu.core import quaternion as quat
+from openekfmonoslam_tpu.core.camera import Camera
+from openekfmonoslam_tpu.filter.state import CAM_DIM, FEAT_DIM, SlamState
+
+
+class Prediction(NamedTuple):
+    """Per-slot measurement predictions (all shapes lead with F slots)."""
+
+    uv: jnp.ndarray        # (F, 2) predicted distorted pixel
+    visible: jnp.ndarray   # (F,) bool: active & in front & in image
+    Hc: jnp.ndarray        # (F, 2, 13) dh/d(camera state); cols 7:13 zero
+    Hf: jnp.ndarray        # (F, 2, 6) dh/d(feature slot params)
+    S: jnp.ndarray         # (F, 2, 2) innovation covariance (R_i = I)
+
+
+def point_in_camera_frame(cam7: jnp.ndarray, feat: jnp.ndarray,
+                          is_xyz: jnp.ndarray) -> jnp.ndarray:
+    """World feature -> camera-frame point.
+
+    Inverse-depth: R(q)^T (rho (anchor - r) + m(theta, phi))
+    (changeToCameraReferenceAxisInverseDepth, MeasurementPrediction.cpp:127-140);
+    XYZ: R(q)^T (p - r) (:147-156).
+    """
+    r, q = cam7[0:3], cam7[3:7]
+    Rcw = quat.to_rotation_matrix(q).T
+    m = quat.directional_vector(feat[3], feat[4])
+    p_inv = feat[5] * (feat[0:3] - r) + m
+    p_xyz = feat[0:3] - r
+    return Rcw @ jnp.where(is_xyz, p_xyz, p_inv)
+
+
+def measure_one(camera: Camera, cam7: jnp.ndarray, feat: jnp.ndarray,
+                is_xyz: jnp.ndarray) -> jnp.ndarray:
+    """h: (camera pose, feature) -> predicted distorted pixel (2,).
+
+    The camera-frame z is clamped away from zero so h and its Jacobian stay
+    finite for slots that are behind the camera or empty; such slots are
+    masked out by the visibility gate anyway.
+    """
+    p_cam = point_in_camera_frame(cam7, feat, is_xyz)
+    z_safe = jnp.where(jnp.abs(p_cam[2]) < 1e-6, 1.0, p_cam[2])
+    p_safe = p_cam.at[2].set(z_safe)
+    uv = cam_mod.project(camera, p_safe)
+    return cam_mod.distort(camera, uv)
+
+
+def _measure_with_jac(camera, cam7, feat, is_xyz):
+    def h(inp):
+        return measure_one(camera, inp[:7], inp[7:], is_xyz)
+
+    inp = jnp.concatenate([cam7, feat])
+    uv = h(inp)
+    J = jax.jacfwd(h)(inp)          # (2, 13)
+    return uv, J[:, :7], J[:, 7:]
+
+
+def predict_measurements(state: SlamState, camera: Camera) -> Prediction:
+    """Vectorized h + H + S for every slot (predictCameraMeasurements,
+    MeasurementPrediction.cpp:705-719)."""
+    F = state.n_features
+    dtype = state.P.dtype
+    cam7 = state.x[:7]
+    feats = state.features                       # (F, 6)
+
+    # --- h and Jacobians, vmapped over slots ---
+    uv, Hc7, Hf = jax.vmap(
+        lambda f, xyz: _measure_with_jac(camera, cam7, f, xyz)
+    )(feats, state.is_xyz)
+
+    # --- visibility gate ---
+    p_cam = jax.vmap(
+        lambda f, xyz: point_in_camera_frame(cam7, f, xyz)
+    )(feats, state.is_xyz)
+    visible = (state.active
+               & cam_mod.in_front_and_in_fov(camera, p_cam)
+               & cam_mod.in_image(camera, uv))
+
+    vis = visible[:, None, None].astype(dtype)
+    Hc = jnp.concatenate(
+        [Hc7 * vis, jnp.zeros((F, 2, CAM_DIM - 7), dtype=dtype)], axis=-1)
+    Hf = Hf * vis
+    # Retired dims of converted-XYZ slots must carry no Jacobian.
+    first3 = (jnp.arange(FEAT_DIM) < 3)
+    feat_dim_mask = jnp.where(state.is_xyz[:, None], first3[None, :], True)
+    Hf = Hf * feat_dim_mask[:, None, :].astype(dtype)
+
+    # --- S_i = H_i P H_i^T + I using only the touched P blocks ---
+    S = innovation_covariances(state.P, Hc, Hf)
+    uv = jnp.where(visible[:, None], uv, 0.0)
+    return Prediction(uv=uv, visible=visible, Hc=Hc, Hf=Hf, S=S)
+
+
+def innovation_covariances(P: jnp.ndarray, Hc: jnp.ndarray, Hf: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """S_i = H_i P H_i^T + I per slot (makeMeasurementCovariance,
+    MeasurementPrediction.cpp:595-658; R_i is the 2x2 identity, :647-653).
+
+    Uses only the P blocks H_i touches: the 13x13 camera block, each slot's
+    13x6 cross strip, and its 6x6 diagonal block.
+    """
+    F = Hc.shape[0]
+    n = P.shape[0]
+    dtype = P.dtype
+    Pcc = P[:CAM_DIM, :CAM_DIM]
+    Pcf = P[:CAM_DIM, CAM_DIM:].reshape(CAM_DIM, F, FEAT_DIM)
+    Pcf = jnp.moveaxis(Pcf, 1, 0)                        # (F, 13, 6)
+    Pff_all = P[CAM_DIM:, CAM_DIM:].reshape(F, FEAT_DIM, F, FEAT_DIM)
+    Pff = jnp.diagonal(Pff_all, axis1=0, axis2=2)        # (6, 6, F)
+    Pff = jnp.moveaxis(Pff, 2, 0)                        # (F, 6, 6)
+
+    S = (jnp.einsum("fic,cd,fjd->fij", Hc, Pcc, Hc)
+         + jnp.einsum("fic,fcd,fjd->fij", Hc, Pcf, Hf)
+         + jnp.einsum("fid,fcd,fjc->fij", Hf, Pcf, Hc)
+         + jnp.einsum("fic,fcd,fjd->fij", Hf, Pff, Hf))
+    return S + jnp.eye(2, dtype=dtype)[None, :, :]
+
+
+def dense_H(Hc: jnp.ndarray, Hf: jnp.ndarray) -> jnp.ndarray:
+    """Assemble the sparse per-slot Jacobians into dense H (2F, N).
+
+    Row block i has Hc_i in the camera columns and Hf_i in slot i's columns
+    (joinJacobians, Update.cpp:222-232, without the compaction).
+    """
+    F = Hc.shape[0]
+    dtype = Hc.dtype
+    idx = jnp.arange(F)
+    feat_block = jnp.zeros((F, 2, F, FEAT_DIM), dtype=dtype)
+    feat_block = feat_block.at[idx, :, idx, :].set(Hf)
+    H = jnp.concatenate(
+        [Hc, feat_block.reshape(F, 2, F * FEAT_DIM)], axis=-1)
+    return H.reshape(2 * F, CAM_DIM + F * FEAT_DIM)

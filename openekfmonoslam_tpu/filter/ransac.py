@@ -1,0 +1,175 @@
+"""Batched 1-point RANSAC and high-innovation outlier rescue.
+
+Reference: 1PointRansac.cpp + rescueOutliers (EKF.cpp:68-119).  For each
+hypothesis the reference deep-copies the state, applies a *state-only*
+Kalman update from a single match (Update.cpp:269-275), re-predicts every
+feature, and counts matches whose prediction moved to within a pixel
+threshold (1PointRansac.cpp:48-84).  Hypothesis selection is deterministic
+(match i for hypothesis i, :88-92) with an adaptively shrinking visit count
+(:171-177).
+
+TPU-first departure: every hypothesis is evaluated in parallel --
+the state-only 1-point updates share P, so all hypothesized states come
+from one batched (F, N, 2) x (F, 2) contraction, and re-prediction is a
+vmap over (hypotheses x slots).  The reference's sequential adaptive
+early-exit changes only *which* hypotheses are eligible to win, so it is
+replayed exactly as a tiny O(F) scan over the precomputed support counts.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from openekfmonoslam_tpu.core import camera as cam_mod
+from openekfmonoslam_tpu.core.camera import Camera
+from openekfmonoslam_tpu.filter.measure import Prediction, measure_one, point_in_camera_frame
+from openekfmonoslam_tpu.filter.state import CAM_DIM, FEAT_DIM, SlamState
+
+
+class RansacResult(NamedTuple):
+    inliers: jnp.ndarray       # (F,) bool: low-innovation inlier set
+    outliers: jnp.ndarray     # (F,) bool: matched but not inlier
+    best_support: jnp.ndarray  # () int32
+    hypotheses_visited: jnp.ndarray  # () int32 (diagnostic)
+
+
+def _batched_state_only_updates(state: SlamState, pred: Prediction,
+                                z: jnp.ndarray, matched: jnp.ndarray,
+                                pixel_error: float) -> jnp.ndarray:
+    """Hypothesized states: one state-only 1-point update per matched slot.
+
+    Returns (F, 13) camera states (feature updates also happen in the
+    reference's updateOnlyState, but only the camera part affects the
+    support re-prediction of *other* features; the hypothesis feature's own
+    update has negligible effect and is included for exactness).
+
+    Actually returns the full (F, N) updated state vectors.
+    """
+    P = state.P
+    dtype = P.dtype
+    F = pred.uv.shape[0]
+    N = P.shape[0]
+
+    # P H_i^T for every slot i: (F, N, 2)
+    Pc = P[:, :CAM_DIM]                                  # (N, 13)
+    PHt = jnp.einsum("nc,fic->fni", Pc, pred.Hc)
+    Pslots = P[:, CAM_DIM:].reshape(N, F, FEAT_DIM)
+    Pslots = jnp.moveaxis(Pslots, 1, 0)                  # (F, N, 6)
+    PHt = PHt + jnp.einsum("fnd,fid->fni", Pslots, pred.Hf)
+
+    # S_i with the update-path R = pixelError * I (determineKalmanGain,
+    # Update.cpp:95-97); pred.S carries R = I, so adjust the diagonal.
+    S = pred.S + (pixel_error - 1.0) * jnp.eye(2, dtype=dtype)[None]
+
+    dz = (z - pred.uv)                                   # (F, 2)
+    # K_i dz_i = PHt_i S_i^-1 dz_i
+    sol = jnp.linalg.solve(S, dz[..., None])[..., 0]     # (F, 2)
+    dx = jnp.einsum("fni,fi->fn", PHt, sol)              # (F, N)
+    dx = dx * matched[:, None].astype(dtype)
+    return state.x[None, :] + dx
+
+
+def _support_counts(states_x: jnp.ndarray, state: SlamState, camera: Camera,
+                    z: jnp.ndarray, matched: jnp.ndarray,
+                    threshold: float) -> jnp.ndarray:
+    """(F,) support of each hypothesis: matched features re-predicted within
+    ``threshold`` pixels (matchesBelowAThreshold, 1PointRansac.cpp:48-84)."""
+
+    def one_hypothesis(xh):
+        cam7 = xh[:7]
+        feats = xh[CAM_DIM:].reshape(-1, FEAT_DIM)
+
+        def one_slot(f, xyz):
+            uv = measure_one(camera, cam7, f, xyz)
+            p_cam = point_in_camera_frame(cam7, f, xyz)
+            vis = (cam_mod.in_front_and_in_fov(camera, p_cam)
+                   & cam_mod.in_image(camera, uv))
+            return uv, vis
+
+        uv, vis = jax.vmap(one_slot)(feats, state.is_xyz)
+        dist = jnp.linalg.norm(z - uv, axis=-1)
+        good = matched & state.active & vis & (dist < threshold)
+        return jnp.sum(good.astype(jnp.int32)), good
+
+    return jax.vmap(one_hypothesis)(states_x)
+
+
+def _adaptive_visit_scan(support: jnp.ndarray, matched: jnp.ndarray,
+                         all_inliers_probability: float,
+                         max_hypotheses: int) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Replay the reference's sequential hypothesis loop over precomputed
+    support counts (1PointRansac.cpp:125-186).
+
+    Hypothesis i is visited while i < current numberOfHipotesis; a visited
+    hypothesis with strictly greater support becomes the leader and shrinks
+    numberOfHipotesis to log(1-p)/log(e) with e the leader's outlier ratio.
+    Returns (best_index, best_support, visited_count).
+    """
+    n_matches = jnp.sum(matched.astype(jnp.int32))
+    log1mp = jnp.log(1.0 - all_inliers_probability)
+    # Hypothesis k of the reference is the k-th *match* in slot order; the
+    # visit bound i < numberOfHipotesis applies to that match rank.
+    rank = jnp.cumsum(matched.astype(jnp.int32)) - 1
+
+    def body(carry, i):
+        best_i, best_s, num_hyp, visited = carry
+        visit = (rank[i] < num_hyp) & matched[i]
+        s = support[i]
+        better = visit & (s > best_s)
+        e = 1.0 - s.astype(jnp.float32) / jnp.maximum(n_matches, 1)
+        # floor() cast as in the C++ static_cast<int>; clamp against e ~ 0/1
+        new_num = jnp.where(
+            e <= 0.0, 0,
+            jnp.where(e >= 1.0, max_hypotheses,
+                      (log1mp / jnp.log(jnp.maximum(e, 1e-30))).astype(jnp.int32)))
+        carry = (
+            jnp.where(better, i, best_i),
+            jnp.where(better, s, best_s),
+            jnp.where(better, new_num, num_hyp),
+            visited + visit.astype(jnp.int32),
+        )
+        return carry, None
+
+    F = support.shape[0]
+    init = (jnp.int32(0), jnp.int32(0), jnp.int32(max_hypotheses),
+            jnp.int32(0))
+    (best_i, best_s, _, visited), _ = jax.lax.scan(
+        body, init, jnp.arange(F, dtype=jnp.int32))
+    return best_i, best_s, visited
+
+
+def ransac(state: SlamState, pred: Prediction, z: jnp.ndarray,
+           matched: jnp.ndarray, camera: Camera, threshold: float,
+           all_inliers_probability: float, pixel_error: float,
+           max_hypotheses: int = 1000) -> RansacResult:
+    """1-point RANSAC over all matched slots (ransac, 1PointRansac.cpp:101-234)."""
+    states_x = _batched_state_only_updates(state, pred, z, matched,
+                                           pixel_error)
+    support, good = _support_counts(states_x, state, camera, z, matched,
+                                    threshold)
+    best_i, best_s, visited = _adaptive_visit_scan(
+        support, matched, all_inliers_probability, max_hypotheses)
+
+    # The winning hypothesis's support set is the low-innovation inlier set;
+    # with no winning hypothesis (best support 0) it is empty.
+    inliers = good[best_i] & matched & (best_s > 0)
+    outliers = matched & ~inliers
+    return RansacResult(inliers=inliers, outliers=outliers,
+                        best_support=best_s, hypotheses_visited=visited)
+
+
+def rescue_outliers(pred_new: Prediction, z: jnp.ndarray,
+                    outliers: jnp.ndarray, chi2_threshold: float
+                    ) -> jnp.ndarray:
+    """High-innovation rescue (rescueOutliers, EKF.cpp:68-119).
+
+    After the low-innovation update, outlier matches whose re-predicted
+    innovation passes d^T S^-1 d < chi2_threshold are rescued.  ``pred_new``
+    must come from the post-update state/covariance.
+    """
+    d = z - pred_new.uv                                  # (F, 2)
+    md = jnp.einsum("fi,fij,fj->f", d, jnp.linalg.inv(pred_new.S), d)
+    return outliers & pred_new.visible & (md < chi2_threshold)
