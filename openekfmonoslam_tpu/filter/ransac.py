@@ -117,13 +117,13 @@ def _adaptive_visit_scan(support: jnp.ndarray, matched: jnp.ndarray,
     def body(carry, i):
         best_i, best_s, num_hyp, visited = carry
         visit = (rank[i] < num_hyp) & matched[i]
-        s = support[i]
+        s = support[i].astype(jnp.int32)
         better = visit & (s > best_s)
         e = 1.0 - s.astype(jnp.float32) / jnp.maximum(n_matches, 1)
         # floor() cast as in the C++ static_cast<int>; clamp against e ~ 0/1
         new_num = jnp.where(
-            e <= 0.0, 0,
-            jnp.where(e >= 1.0, max_hypotheses,
+            e <= 0.0, jnp.int32(0),
+            jnp.where(e >= 1.0, jnp.int32(max_hypotheses),
                       (log1mp / jnp.log(jnp.maximum(e, 1e-30))).astype(jnp.int32)))
         carry = (
             jnp.where(better, i, best_i),
