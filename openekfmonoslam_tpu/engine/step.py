@@ -1,0 +1,232 @@
+"""The full per-frame SLAM step as a single jittable function.
+
+This is the TPU re-design of EKF::step (EKF.cpp:242-666) -- the reference's
+seven sequential phases (predict, measurement prediction, matching, 1-point
+RANSAC, low-innovation update, outlier rescue, high-innovation update, map
+management) fused into one traced program over statically-shaped slot
+arrays.  EKF::init (EKF.cpp:170-237) is `init_step`.
+
+Data flow per frame (phase -> reference location):
+  1  predict                 StateAndCovariancePrediction.cpp:244
+  2  predict measurements    MeasurementPrediction.cpp:705
+  3  detect + describe       Matching.cpp:204-210 (masked to gate ellipses)
+  4  guided matching         Matching.cpp:181-264
+  5  1-point RANSAC          1PointRansac.cpp:101
+  6  update (low innov)      Update.cpp:282 via EKF.cpp:430
+  7  re-predict + rescue     EKF.cpp:443-506
+  8  update (high innov)     EKF.cpp:522-540
+  9  map management          EKF.cpp:546-612
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from openekfmonoslam_tpu.config import SlamConfig
+from openekfmonoslam_tpu.core.camera import Camera
+from openekfmonoslam_tpu.filter import features as feat_mod
+from openekfmonoslam_tpu.filter import mapman
+from openekfmonoslam_tpu.filter import measure as meas_mod
+from openekfmonoslam_tpu.filter import predict as pred_mod
+from openekfmonoslam_tpu.filter import ransac as ransac_mod
+from openekfmonoslam_tpu.filter import update as upd_mod
+from openekfmonoslam_tpu.filter.state import SlamState, make_initial_state
+from openekfmonoslam_tpu.vision import brief, detect, fast, matching
+
+
+class StepRecord(NamedTuple):
+    """Per-frame observables (the output.yml record, EKF.cpp:405-628)."""
+
+    x_cam: jnp.ndarray          # (13,) camera state
+    P_cam: jnp.ndarray          # (13, 13) camera covariance corner
+    total_matches: jnp.ndarray  # () int32
+    li_inliers: jnp.ndarray     # () int32 low-innovation inliers
+    hi_inliers: jnp.ndarray     # () int32 rescued (high-innovation)
+    n_active: jnp.ndarray       # () int32 live landmarks
+    n_visible: jnp.ndarray      # () int32 predicted-visible landmarks
+
+
+class SlamRuntime:
+    """Static per-run context: config scalars, camera, BRIEF pattern.
+
+    Everything here is baked into the jitted step as constants.
+    """
+
+    def __init__(self, config: SlamConfig):
+        self.config = config
+        self.dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
+        self.camera = Camera.from_calibration(config.camera, self.dtype)
+        self.pattern = jnp.asarray(brief.make_pattern(
+            config.descriptor.n_bits, config.descriptor.patch_size,
+            config.descriptor.pattern_seed))
+        self.gate = (config.gate_scale ** 2) * config.chi2_95_2
+        ekf = config.ekf
+        self.exclusion_radius = config.gate_scale * float(
+            jnp.sqrt(ekf.detect_new_features_image_mask_ellipse_size
+                     * config.chi2_95_2))
+        self.zones_in_a_row = int(
+            2 ** ekf.detect_new_features_image_areas_divide_times)
+
+    # -- vision precompute shared by matching and new-feature detection --
+    def _frame_features(self, gray: jnp.ndarray):
+        score = fast.fast_scores(gray, self.config.detector.threshold)
+        score_nms = fast.non_max_suppress(
+            score, self.config.detector.nonmax_radius)
+        smoothed = brief.smooth(gray, self.config.descriptor.blur_sigma)
+        return score_nms, smoothed
+
+    def _border_mask(self, shape):
+        h, w = shape
+        m = self.config.descriptor.patch_size // 2 + 1
+        ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        return (ys >= m) & (ys < h - m) & (xs >= m) & (xs < w - m)
+
+    # ------------------------------------------------------------------
+    def init_step(self, state: SlamState, gray: jnp.ndarray) -> SlamState:
+        """EKF::init (EKF.cpp:170-237): detect MinMatchesPerImage features
+        zone-balanced over the whole image and add them to the map."""
+        cfg = self.config
+        score_nms, smoothed = self._frame_features(gray)
+        kps = fast.detect_keypoints(score_nms, self._border_mask(gray.shape),
+                                    cfg.max_keypoints)
+        kp_xy = jnp.stack([kps.yx[:, 1], kps.yx[:, 0]], axis=-1)  # (x, y)
+
+        no_pred = jnp.zeros((1, 2), dtype=jnp.float32)
+        picked = detect.select_zone_balanced(
+            kp_xy.astype(jnp.float32), kps.score, kps.valid,
+            no_pred, jnp.zeros((1,), bool),
+            jnp.int32(cfg.ekf.min_matches_per_image),
+            jnp.asarray(self.exclusion_radius, jnp.float32),
+            self.zones_in_a_row, gray.shape[1], gray.shape[0],
+            max_new=cfg.max_features)
+
+        desc = brief.extract(smoothed, kps.yx[picked.kp_index], self.pattern)
+        state = feat_mod.add_features(
+            state, self.camera, cfg,
+            picked.uv.astype(self.dtype), desc, picked.valid)
+        return state
+
+    # ------------------------------------------------------------------
+    def step(self, state: SlamState, gray: jnp.ndarray
+             ) -> tuple[SlamState, StepRecord]:
+        """One full frame (EKF::step, EKF.cpp:242-666)."""
+        cfg = self.config
+        ekf = cfg.ekf
+        cam = self.camera
+        pixel_error = cfg.camera.pixel_error_x
+
+        state = state._replace(frame=state.frame + 1)
+
+        # [1] predict
+        state = pred_mod.predict(state, cfg)
+
+        # [2] measurement prediction for every slot
+        pred = meas_mod.predict_measurements(state, cam)
+
+        # [3] detection restricted to the union of gate ellipses
+        score_nms, smoothed = self._frame_features(gray)
+        in_ellipse = matching.ellipse_union_mask(
+            gray.shape, pred.uv, pred.S, pred.visible, self.gate)
+        kps = fast.detect_keypoints(
+            score_nms, in_ellipse & self._border_mask(gray.shape),
+            cfg.max_keypoints)
+        kp_xy = jnp.stack([kps.yx[:, 1], kps.yx[:, 0]],
+                          axis=-1).astype(self.dtype)
+        kp_desc = brief.extract(smoothed, kps.yx, self.pattern)
+
+        # [4] guided matching
+        m = matching.match_predictions(
+            pred.uv, pred.S, pred.visible, state.descriptors,
+            kp_xy, kps.valid, kp_desc, self.gate,
+            ekf.matching_comp_coef_second_best_vs_first)
+
+        # [5] 1-point RANSAC
+        res = ransac_mod.ransac(
+            state, pred, m.z, m.matched, cam,
+            ekf.ransac_threshold_predict_distance,
+            ekf.ransac_all_inliers_probability, pixel_error,
+            cfg.max_hypotheses)
+
+        # [6] low-innovation joint update
+        state = upd_mod.update(state, pred, m.z, res.inliers, pixel_error)
+
+        # [7] re-predict outliers against the updated state; chi2 rescue
+        pred2 = meas_mod.predict_measurements(state, cam)
+        rescued = ransac_mod.rescue_outliers(
+            pred2, m.z, res.outliers, ekf.ransac_chi2_threshold)
+
+        # [8] high-innovation joint update
+        state = upd_mod.update(state, pred2, m.z, rescued, pixel_error)
+
+        inliers_all = res.inliers | rescued
+
+        # [9] map management
+        state = mapman.update_counters(state, pred.visible, inliers_all,
+                                       m.desc)
+
+        do_mm = jnp.logical_and(
+            ekf.map_management_frequency > 0,
+            state.frame % max(ekf.map_management_frequency, 1) == 0)
+        needed = jnp.int32(ekf.min_matches_per_image) - jnp.sum(
+            inliers_all.astype(jnp.int32))
+
+        # remove low-ratio features (removeBadMapFeatures)
+        bad = mapman.bad_feature_mask(state, ekf.good_feature_matching_percent)
+        state = mapman.remove_features(state, bad & do_mm)
+
+        # remove unseen under pressure (EKF.cpp:582-586)
+        pressure = mapman.map_pressure(
+            state, needed, ekf.always_remove_unseen_map_features,
+            ekf.max_map_features_count, ekf.max_map_size)
+        unseen = state.active & ~pred.visible
+        state = mapman.remove_features(state, unseen & pressure & do_mm)
+
+        # convert at most one inverse-depth feature to XYZ
+        state = jax.lax.cond(
+            do_mm,
+            lambda s: mapman.convert_one_to_xyz(
+                s, ekf.inverse_depth_linearity_index_threshold),
+            lambda s: s,
+            state)
+
+        # detect + add new features away from the frame-start ellipses
+        out_mask = ~in_ellipse & self._border_mask(gray.shape)
+        kps2 = fast.detect_keypoints(score_nms, out_mask, cfg.max_keypoints)
+        kp2_xy = jnp.stack([kps2.yx[:, 1], kps2.yx[:, 0]],
+                           axis=-1).astype(jnp.float32)
+        picked = detect.select_zone_balanced(
+            kp2_xy, kps2.score, kps2.valid,
+            pred.uv.astype(jnp.float32), pred.visible,
+            jnp.maximum(needed, 0) * do_mm.astype(jnp.int32),
+            jnp.asarray(self.exclusion_radius, jnp.float32),
+            self.zones_in_a_row, gray.shape[1], gray.shape[0],
+            max_new=cfg.max_features)
+        new_desc = brief.extract(smoothed, kps2.yx[picked.kp_index],
+                                 self.pattern)
+        state = feat_mod.add_features(
+            state, cam, cfg, picked.uv.astype(self.dtype), new_desc,
+            picked.valid & do_mm & (needed > 0))
+
+        record = StepRecord(
+            x_cam=state.x[:13],
+            P_cam=state.P[:13, :13],
+            total_matches=jnp.sum(m.matched.astype(jnp.int32)),
+            li_inliers=jnp.sum(res.inliers.astype(jnp.int32)),
+            hi_inliers=jnp.sum(rescued.astype(jnp.int32)),
+            n_active=jnp.sum(state.active.astype(jnp.int32)),
+            n_visible=jnp.sum(pred.visible.astype(jnp.int32)),
+        )
+        return state, record
+
+    # ------------------------------------------------------------------
+    def make_initial_state(self) -> SlamState:
+        return make_initial_state(self.config, self.dtype)
+
+    def jitted(self):
+        """(init_fn, step_fn) jit-compiled."""
+        return jax.jit(self.init_step), jax.jit(self.step)

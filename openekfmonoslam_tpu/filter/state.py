@@ -48,6 +48,7 @@ class SlamState(NamedTuple):
     times_matched: jnp.ndarray    # (F,) int32
     descriptors: jnp.ndarray     # (F, W) uint32 packed binary descriptors
     rng: jnp.ndarray             # jax PRNG key
+    frame: jnp.ndarray           # () int32 step counter (EKF._ekfSteps)
 
     @property
     def n_features(self) -> int:
@@ -129,6 +130,7 @@ def make_initial_state(config: SlamConfig, dtype=jnp.float32) -> SlamState:
         times_matched=jnp.zeros((f,), dtype=jnp.int32),
         descriptors=jnp.zeros((f, desc_words), dtype=jnp.uint32),
         rng=jax.random.PRNGKey(config.seed),
+        frame=jnp.int32(0),
     )
 
 

@@ -1,0 +1,87 @@
+"""BRIEF-256 binary descriptors: smoothed point-pair tests, bit-packed.
+
+The reference extracts 32-byte BRIEF descriptors through OpenCV
+(DescriptorExtractorFactory.cpp:51-134) and matches them with a popcount
+Hamming distance (Matching.cpp:74-90, popCountTable EKFMath.h:48-58).
+
+The TPU build keeps the same descriptor *shape* (256 bits packed in 8
+uint32 words, Hamming matching) but generates its own fixed point-pair
+pattern (isotropic Gaussian, seeded), since descriptors only ever compete
+against other descriptors from this same extractor.  Extraction is K
+keypoints x 256 pairs x 2 gathers from the Gaussian-smoothed image -- one
+vectorized gather, no loops.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_pattern(n_bits: int = 256, patch_size: int = 33, seed: int = 7
+                 ) -> np.ndarray:
+    """(n_bits, 4) int32 array of (dy1, dx1, dy2, dx2) offsets.
+
+    Classic BRIEF GII sampling: both points i.i.d. N(0, (S/5)^2), clipped
+    to the patch.
+    """
+    rng = np.random.default_rng(seed)
+    half = patch_size // 2
+    sigma = patch_size / 5.0
+    pts = rng.normal(0.0, sigma, size=(n_bits, 4))
+    return np.clip(np.round(pts), -half, half).astype(np.int32)
+
+
+def gaussian_kernel(sigma: float, radius: int = 4) -> np.ndarray:
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-0.5 * (x / sigma) ** 2)
+    return (k / k.sum()).astype(np.float32)
+
+
+def smooth(gray: jnp.ndarray, sigma: float = 2.0) -> jnp.ndarray:
+    """Separable Gaussian blur (the reference's BRIEF smooths with a box
+    filter; a small Gaussian serves the same noise-robustness purpose)."""
+    k = jnp.asarray(gaussian_kernel(sigma))
+    img = gray.astype(jnp.float32)[None, None]           # NCHW
+    kv = k[None, None, :, None]
+    kh = k[None, None, None, :]
+    img = jax.lax.conv_general_dilated(img, kv, (1, 1), "SAME")
+    img = jax.lax.conv_general_dilated(img, kh, (1, 1), "SAME")
+    return img[0, 0]
+
+
+@partial(jax.jit, static_argnames=())
+def extract(smoothed: jnp.ndarray, yx: jnp.ndarray, pattern: jnp.ndarray
+            ) -> jnp.ndarray:
+    """Descriptors for K keypoints: (K, n_bits/32) uint32.
+
+    ``smoothed``: (H, W) float32; ``yx``: (K, 2) int32; ``pattern``:
+    (n_bits, 4) int32.  Coordinates are clipped to the image so border
+    keypoints produce defined (if less distinctive) descriptors; detection
+    masks should exclude the border anyway.
+    """
+    h, w = smoothed.shape
+    y = yx[:, 0:1]                                   # (K, 1)
+    x = yx[:, 1:2]
+    y1 = jnp.clip(y + pattern[None, :, 0], 0, h - 1)  # (K, B)
+    x1 = jnp.clip(x + pattern[None, :, 1], 0, w - 1)
+    y2 = jnp.clip(y + pattern[None, :, 2], 0, h - 1)
+    x2 = jnp.clip(x + pattern[None, :, 3], 0, w - 1)
+    bits = smoothed[y1, x1] < smoothed[y2, x2]       # (K, B) bool
+    k, b = bits.shape
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    words = jnp.sum(
+        bits.reshape(k, b // 32, 32).astype(jnp.uint32) * weights[None, None],
+        axis=-1, dtype=jnp.uint32)
+    return words                                      # (K, B/32)
+
+
+def hamming_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(F, W) x (K, W) packed descriptors -> (F, K) int32 Hamming distances
+    (the reference's popcount loop, Matching.cpp:74-90, as one vectorized
+    XOR + population_count)."""
+    x = jnp.bitwise_xor(a[:, None, :], b[None, :, :])
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)

@@ -1,0 +1,108 @@
+"""Active-search guided matching with analytic ellipse gating.
+
+Reference: Matching.cpp.  The reference rasterizes each prediction's
+uncertainty ellipse into a detection mask (drawUncertaintyEllipse2D,
+Draw.cpp:42-64), detects keypoints only inside, then per prediction gates
+keypoints by ellipse membership (pointIsInsideEllipse, EKFMath.cpp:302-351)
+and does a 2-NN Hamming match with a ratio test (:116-177).
+
+The rasterized ellipse has half-axes 2*sqrt(eig * CHISQ_95_2)
+(EKFMath.cpp:292-293), i.e. the 95% ellipse scaled 2x linearly; the
+analytic equivalent used here is the Mahalanobis gate
+d^T S^-1 d <= gate_scale^2 * chi2_95(2) with gate_scale = 2.
+
+TPU-first: the per-pixel "inside any ellipse" mask and the (F, K) gated
+distance matrix are dense vectorized ops; no rasterization, no loops.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from openekfmonoslam_tpu.vision import brief
+
+
+class Matches(NamedTuple):
+    z: jnp.ndarray          # (F, 2) matched pixel (x, y); 0 where unmatched
+    matched: jnp.ndarray    # (F,) bool
+    desc: jnp.ndarray       # (F, W) matched keypoint descriptor
+    distance: jnp.ndarray   # (F,) int32 Hamming distance (diagnostic)
+
+
+def _inv_2x2(S: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 2x2 inverse (cheaper than linalg.inv on TPU)."""
+    a, b = S[..., 0, 0], S[..., 0, 1]
+    c, d = S[..., 1, 0], S[..., 1, 1]
+    det = a * d - b * c
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    inv = jnp.stack([
+        jnp.stack([d, -b], axis=-1),
+        jnp.stack([-c, a], axis=-1),
+    ], axis=-2)
+    return inv / det[..., None, None]
+
+
+def ellipse_union_mask(shape: tuple, centers: jnp.ndarray,
+                       S: jnp.ndarray, visible: jnp.ndarray,
+                       gate: float) -> jnp.ndarray:
+    """(H, W) bool: pixels inside any visible prediction's gate ellipse.
+
+    Replaces the rasterized detection mask (Matching.cpp:193-202)."""
+    h, w = shape
+    Sinv = _inv_2x2(S)                                  # (F, 2, 2)
+    xs = jnp.arange(w, dtype=S.dtype)
+    ys = jnp.arange(h, dtype=S.dtype)
+    dx = xs[None, None, :] - centers[:, 0][:, None, None]   # (F, 1, W)
+    dy = ys[None, :, None] - centers[:, 1][:, None, None]   # (F, H, 1)
+    a = Sinv[:, 0, 0][:, None, None]
+    b = Sinv[:, 0, 1][:, None, None]
+    c = Sinv[:, 1, 1][:, None, None]
+    md = a * dx * dx + 2.0 * b * dx * dy + c * dy * dy      # (F, H, W)
+    inside = (md <= gate) & visible[:, None, None]
+    return jnp.any(inside, axis=0)
+
+
+def match_predictions(pred_uv: jnp.ndarray, pred_S: jnp.ndarray,
+                      visible: jnp.ndarray, map_desc: jnp.ndarray,
+                      kp_xy: jnp.ndarray, kp_valid: jnp.ndarray,
+                      kp_desc: jnp.ndarray, gate: float,
+                      ratio_coef: float) -> Matches:
+    """Gated 2-NN Hamming matching (matchPredictedFeatures, Matching.cpp:181-264).
+
+    ``pred_uv`` (F, 2) predicted pixels (x, y); ``pred_S`` (F, 2, 2);
+    ``kp_xy`` (K, 2) keypoint pixels (x, y); gate = scaled chi2 threshold.
+    """
+    F = pred_uv.shape[0]
+    dtype = pred_uv.dtype
+
+    d = kp_xy[None, :, :] - pred_uv[:, None, :]          # (F, K, 2)
+    Sinv = _inv_2x2(pred_S)
+    md = jnp.einsum("fki,fij,fkj->fk", d, Sinv, d)
+    gated = (md <= gate) & kp_valid[None, :] & visible[:, None]
+
+    dist = brief.hamming_distance(map_desc, kp_desc)     # (F, K) int32
+    BIG = jnp.int32(1 << 20)
+    dist_g = jnp.where(gated, dist, BIG)
+
+    # 2-NN (findBestNMatches, Matching.cpp:116-144)
+    neg_top2, idx_top2 = jax.lax.top_k(-dist_g, 2)
+    d1 = -neg_top2[:, 0]
+    d2 = -neg_top2[:, 1]
+    best_idx = idx_top2[:, 0]
+
+    n_cand = jnp.sum(gated, axis=1)
+    # ratio test (matchICDescriptors, Matching.cpp:169-175): a single
+    # candidate is accepted outright; otherwise best <= second * coef.
+    accept = (n_cand == 1) | (
+        (n_cand >= 2)
+        & (d1.astype(dtype) <= d2.astype(dtype) * ratio_coef))
+    matched = visible & (n_cand > 0) & accept
+
+    z = jnp.where(matched[:, None], kp_xy[best_idx].astype(dtype), 0.0)
+    desc = jnp.where(matched[:, None], kp_desc[best_idx],
+                     jnp.zeros_like(kp_desc[best_idx]))
+    return Matches(z=z, matched=matched, desc=desc,
+                   distance=jnp.where(matched, d1, BIG))
