@@ -1,0 +1,154 @@
+"""Host-side engine: the reference's 3-call public API, plus outputs.
+
+The reference's entire public surface is ``EKF(configFile, outputPath)``,
+``EKF::init(image)``, ``EKF::step(image)`` with direct access to ``state``
+and ``stateCovarianceMatrix`` (EKF.h:41-63).  SlamEngine mirrors that:
+
+    engine = SlamEngine("config.yml", output_path="out/")
+    engine.init(first_frame)          # EKF::init
+    for frame in frames:
+        record = engine.step(frame)   # EKF::step
+    engine.state_vector, engine.covariance   # state access
+    engine.close()
+
+Per-frame records carry the same observables the reference writes to
+output.yml (state, 13x13 covariance corner, match/inlier counts, per-phase
+wall times; EKF.cpp:405-628), emitted as JSONL plus an output.yml-like YAML
+for the resultReader-equivalent tooling in openekfmonoslam_tpu.eval.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openekfmonoslam_tpu.config import SlamConfig, auto_max_features, load_config
+from openekfmonoslam_tpu.engine.step import SlamRuntime, StepRecord
+from openekfmonoslam_tpu.io.sources import to_gray
+
+
+class SlamEngine:
+    def __init__(self, config: "str | SlamConfig",
+                 output_path: Optional[str] = None, **overrides):
+        if isinstance(config, str):
+            cfg = load_config(config)
+            if "max_features" not in overrides:
+                overrides["max_features"] = auto_max_features(cfg.ekf)
+            import dataclasses
+            cfg = dataclasses.replace(cfg, **overrides)
+        else:
+            cfg = config
+        self.config = cfg
+        self.runtime = SlamRuntime(cfg)
+        self._init_fn, self._step_fn = self.runtime.jitted()
+        self.state = self.runtime.make_initial_state()
+        self.records: list[dict] = []
+        self.frame_index = 0
+
+        self.output_path = output_path
+        self._jsonl = None
+        if output_path:
+            os.makedirs(output_path, exist_ok=True)
+            self._jsonl = open(os.path.join(output_path, "records.jsonl"),
+                               "w")
+
+    # ------------------------------------------------------------------
+    def init(self, image: np.ndarray) -> None:
+        """EKF::init (EKF.cpp:170-237)."""
+        gray = jnp.asarray(to_gray(np.asarray(image)))
+        self.state = self._init_fn(self.state, gray)
+        jax.block_until_ready(self.state.x)
+
+    def step(self, image: np.ndarray) -> dict:
+        """EKF::step (EKF.cpp:242-666); returns the per-frame record."""
+        t0 = time.perf_counter()
+        gray = jnp.asarray(to_gray(np.asarray(image)))
+        self.state, rec = self._step_fn(self.state, gray)
+        jax.block_until_ready(self.state.x)
+        dt = time.perf_counter() - t0
+
+        self.frame_index += 1
+        record = self._record_to_dict(rec, dt)
+        self.records.append(record)
+        if self._jsonl:
+            self._jsonl.write(json.dumps(record) + "\n")
+        return record
+
+    # ------------------------------------------------------------------
+    @property
+    def state_vector(self) -> np.ndarray:
+        return np.asarray(self.state.x)
+
+    @property
+    def covariance(self) -> np.ndarray:
+        return np.asarray(self.state.P)
+
+    @property
+    def camera_position(self) -> np.ndarray:
+        return np.asarray(self.state.x[0:3])
+
+    def _record_to_dict(self, rec: StepRecord, wall_s: float) -> dict:
+        x = np.asarray(rec.x_cam, dtype=np.float64)
+        return {
+            "frame": self.frame_index,
+            "position": x[0:3].tolist(),
+            "orientation": x[3:7].tolist(),
+            "linear_velocity": x[7:10].tolist(),
+            "angular_velocity": x[10:13].tolist(),
+            "covariance_cam": np.asarray(rec.P_cam,
+                                         dtype=np.float64).tolist(),
+            "total_matches": int(rec.total_matches),
+            "li_inliers": int(rec.li_inliers),
+            "hi_inliers": int(rec.hi_inliers),
+            "n_active": int(rec.n_active),
+            "n_visible": int(rec.n_visible),
+            "wall_time_s": wall_s,
+        }
+
+    def write_output_yml(self) -> Optional[str]:
+        """output.yml-compatible dump (EKF.cpp:614-629 layout)."""
+        if not self.output_path:
+            return None
+        path = os.path.join(self.output_path, "output.yml")
+        with open(path, "w") as f:
+            f.write("%YAML:1.0\n")
+            for r in self.records:
+                f.write(f'"Frame {r["frame"]}":\n')
+                f.write(f"  totalMatches: {r['total_matches']}\n")
+                f.write(f"  liInliers: {r['li_inliers']}\n")
+                f.write(f"  hiInliers: {r['hi_inliers']}\n")
+                f.write("  StateEstimation:\n")
+                f.write(f"    position: {r['position']}\n")
+                f.write(f"    orientation: {r['orientation']}\n")
+                f.write(f"    linearVelocity: {r['linear_velocity']}\n")
+                f.write(f"    angularVelocity: {r['angular_velocity']}\n")
+        return path
+
+    def close(self) -> None:
+        if self._jsonl:
+            self._jsonl.close()
+            self._jsonl = None
+        self.write_output_yml()
+
+
+def run_sequence(engine: SlamEngine, source, max_frames: Optional[int] = None,
+                 progress_every: int = 0) -> list[dict]:
+    """Drive an engine over a frame source (samples/EKF/main.cpp:123-167)."""
+    it = iter(source)
+    first = next(it)
+    engine.init(first)
+    for i, frame in enumerate(it):
+        if max_frames is not None and i >= max_frames:
+            break
+        rec = engine.step(frame)
+        if progress_every and (i + 1) % progress_every == 0:
+            print(f"frame {rec['frame']}: matches={rec['total_matches']} "
+                  f"inliers={rec['li_inliers']}+{rec['hi_inliers']} "
+                  f"map={rec['n_active']} {rec['wall_time_s']*1e3:.1f} ms")
+    return engine.records
