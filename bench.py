@@ -1,0 +1,97 @@
+"""Benchmark: SLAM frames/sec/chip on the bundled s3 sequence.
+
+Runs the device-resident scan runner (lax.scan over frames) on
+experiments/s3/costado_recto1 with the s3 config, measures steady-state
+throughput, and prints ONE JSON line.
+
+Baseline: the reference publishes no numbers (BASELINE.md); its
+``EKF400ms`` profile names a ~2.5 fps operating point on the original
+target hardware, and the reference binary cannot be built here (OpenCV
+2.4-era API).  vs_baseline is measured against the 2.5 fps implied
+operating point; BASELINE.md records the methodology.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+BASELINE_FPS = 2.5
+FRAMES_DIR = "/root/reference/experiments/s3/costado_recto1"
+CONFIG = "/root/reference/experiments/s3/config.yml"
+N_FRAMES = 240
+CHUNK = 64
+
+
+def load_frames(n):
+    from openekfmonoslam_tpu.io.sources import FileSequenceSource
+    src = FileSequenceSource(FRAMES_DIR, begin=1, end=n)
+    return np.stack(list(src))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from openekfmonoslam_tpu.config import auto_max_features, load_config
+    from openekfmonoslam_tpu.engine.scan_runner import scan_frames
+    from openekfmonoslam_tpu.engine.step import SlamRuntime
+    from functools import partial
+    import dataclasses
+
+    cfg = load_config(CONFIG)
+    cfg = dataclasses.replace(cfg, max_features=auto_max_features(cfg.ekf))
+    runtime = SlamRuntime(cfg)
+
+    frames = load_frames(N_FRAMES)
+
+    init_fn = jax.jit(runtime.init_step)
+    scan_fn = jax.jit(partial(scan_frames, runtime))
+
+    state0 = runtime.make_initial_state()
+    state0 = init_fn(state0, jnp.asarray(frames[0]))
+    jax.block_until_ready(state0.x)
+
+    rest = frames[1:]
+    n_chunks = len(rest) // CHUNK
+    chunks = [jnp.asarray(rest[i * CHUNK:(i + 1) * CHUNK])
+              for i in range(n_chunks)]
+
+    # warmup/compile on the first chunk
+    st, _ = scan_fn(state0, chunks[0])
+    jax.block_until_ready(st.x)
+
+    # timed run over all chunks
+    t0 = time.perf_counter()
+    st = state0
+    last = None
+    for c in chunks:
+        st, rec = scan_fn(st, c)
+        last = rec
+    jax.block_until_ready(st.x)
+    dt = time.perf_counter() - t0
+
+    n_done = n_chunks * CHUNK
+    fps = n_done / dt
+    matches = float(np.mean(np.asarray(last.total_matches)))
+
+    print(json.dumps({
+        "metric": "slam_frames_per_sec_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+        "detail": {
+            "frames": n_done,
+            "seconds": round(dt, 3),
+            "mean_matches_last_chunk": round(matches, 1),
+            "state_dim": cfg.state_dim,
+            "baseline_fps": BASELINE_FPS,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

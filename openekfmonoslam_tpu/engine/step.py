@@ -60,9 +60,10 @@ class SlamRuntime:
         self.config = config
         self.dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
         self.camera = Camera.from_calibration(config.camera, self.dtype)
-        self.pattern = jnp.asarray(brief.make_pattern(
+        self._pattern_np = brief.make_pattern(
             config.descriptor.n_bits, config.descriptor.patch_size,
-            config.descriptor.pattern_seed))
+            config.descriptor.pattern_seed)
+        self.pattern = jnp.asarray(self._pattern_np)
         self.gate = (config.gate_scale ** 2) * config.chi2_95_2
         ekf = config.ekf
         self.exclusion_radius = config.gate_scale * float(
@@ -73,11 +74,15 @@ class SlamRuntime:
 
     # -- vision precompute shared by matching and new-feature detection --
     def _frame_features(self, gray: jnp.ndarray):
-        score = fast.fast_scores(gray, self.config.detector.threshold)
-        score_nms = fast.non_max_suppress(
-            score, self.config.detector.nonmax_radius)
-        smoothed = brief.smooth(gray, self.config.descriptor.blur_sigma)
-        return score_nms, smoothed
+        """Corner scores + dense descriptor planes; precision-insensitive,
+        so traced at default (bf16-pass) matmul precision."""
+        with jax.default_matmul_precision("default"):
+            score = fast.fast_scores(gray, self.config.detector.threshold)
+            score_nms = fast.non_max_suppress(
+                score, self.config.detector.nonmax_radius)
+            smoothed = brief.smooth(gray, self.config.descriptor.blur_sigma)
+            desc_planes = brief.dense_descriptors(smoothed, self._pattern_np)
+        return score_nms, desc_planes
 
     def _border_mask(self, shape):
         h, w = shape
@@ -90,8 +95,16 @@ class SlamRuntime:
     def init_step(self, state: SlamState, gray: jnp.ndarray) -> SlamState:
         """EKF::init (EKF.cpp:170-237): detect MinMatchesPerImage features
         zone-balanced over the whole image and add them to the map."""
+        # TPU matmuls default to bf16 passes; the covariance algebra needs
+        # true f32 accumulation or P loses positive-definiteness within ~50
+        # frames.  FLOPs here are tiny, so run the whole step at highest.
+        with jax.default_matmul_precision("highest"):
+            return self._init_step_impl(state, gray)
+
+    def _init_step_impl(self, state: SlamState, gray: jnp.ndarray
+                        ) -> SlamState:
         cfg = self.config
-        score_nms, smoothed = self._frame_features(gray)
+        score_nms, desc_planes = self._frame_features(gray)
         kps = fast.detect_keypoints(score_nms, self._border_mask(gray.shape),
                                     cfg.max_keypoints)
         kp_xy = jnp.stack([kps.yx[:, 1], kps.yx[:, 0]], axis=-1)  # (x, y)
@@ -105,7 +118,8 @@ class SlamRuntime:
             self.zones_in_a_row, gray.shape[1], gray.shape[0],
             max_new=cfg.max_features)
 
-        desc = brief.extract(smoothed, kps.yx[picked.kp_index], self.pattern)
+        desc = brief.lookup_descriptors(desc_planes,
+                                        kps.yx[picked.kp_index])
         state = feat_mod.add_features(
             state, self.camera, cfg,
             picked.uv.astype(self.dtype), desc, picked.valid)
@@ -115,6 +129,11 @@ class SlamRuntime:
     def step(self, state: SlamState, gray: jnp.ndarray
              ) -> tuple[SlamState, StepRecord]:
         """One full frame (EKF::step, EKF.cpp:242-666)."""
+        with jax.default_matmul_precision("highest"):
+            return self._step_impl(state, gray)
+
+    def _step_impl(self, state: SlamState, gray: jnp.ndarray
+                   ) -> tuple[SlamState, StepRecord]:
         cfg = self.config
         ekf = cfg.ekf
         cam = self.camera
@@ -129,7 +148,7 @@ class SlamRuntime:
         pred = meas_mod.predict_measurements(state, cam)
 
         # [3] detection restricted to the union of gate ellipses
-        score_nms, smoothed = self._frame_features(gray)
+        score_nms, desc_planes = self._frame_features(gray)
         in_ellipse = matching.ellipse_union_mask(
             gray.shape, pred.uv, pred.S, pred.visible, self.gate)
         kps = fast.detect_keypoints(
@@ -137,7 +156,7 @@ class SlamRuntime:
             cfg.max_keypoints)
         kp_xy = jnp.stack([kps.yx[:, 1], kps.yx[:, 0]],
                           axis=-1).astype(self.dtype)
-        kp_desc = brief.extract(smoothed, kps.yx, self.pattern)
+        kp_desc = brief.lookup_descriptors(desc_planes, kps.yx)
 
         # [4] guided matching
         m = matching.match_predictions(
@@ -206,8 +225,8 @@ class SlamRuntime:
             jnp.asarray(self.exclusion_radius, jnp.float32),
             self.zones_in_a_row, gray.shape[1], gray.shape[0],
             max_new=cfg.max_features)
-        new_desc = brief.extract(smoothed, kps2.yx[picked.kp_index],
-                                 self.pattern)
+        new_desc = brief.lookup_descriptors(desc_planes,
+                                            kps2.yx[picked.kp_index])
         state = feat_mod.add_features(
             state, cam, cfg, picked.uv.astype(self.dtype), new_desc,
             picked.valid & do_mm & (needed > 0))

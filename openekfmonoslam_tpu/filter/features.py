@@ -12,10 +12,9 @@ TPU-first departures:
     (previously zeroed) slot, preserving the masked-P invariant;
   * J1/J2 come from jax.jacfwd of the exact init function (replacing the
     hand chain rule at :109-216);
-  * a batch of candidates is added with a `lax.scan` (additions are order
-    dependent: each new feature's cross-covariance involves previously
-    added ones, as in the sequential loop at :354-367) -- but each addition
-    only touches a 6-row strip, so the scan body is tiny.
+  * the reference's sequential addition loop (:354-367) is replaced by a
+    closed-form batched construction that reproduces it exactly (see
+    add_features).
 """
 
 from __future__ import annotations
@@ -47,72 +46,89 @@ def init_feature(camera: Camera, cam7: jnp.ndarray, uv_rho: jnp.ndarray
     return jnp.concatenate([r, jnp.stack([theta, phi, uv_rho[2]])])
 
 
-def _add_one(state: SlamState, camera: Camera, uv: jnp.ndarray,
-             desc: jnp.ndarray, slot: jnp.ndarray, valid: jnp.ndarray,
-             pixel_error_x: float, pixel_error_y: float, rho_sd: float,
-             init_rho: float) -> SlamState:
-    """Write one feature into ``slot``; no-op when ``valid`` is False."""
-    P = state.P
-    dtype = P.dtype
-    N = P.shape[0]
-    cam7 = state.x[:7]
-    uv_rho = jnp.concatenate([uv, jnp.asarray([init_rho], dtype=dtype)])
-
-    feat = init_feature(camera, cam7, uv_rho)
-    J1 = jax.jacfwd(lambda c: init_feature(camera, c, uv_rho))(cam7)   # (6,7)
-    J2 = jax.jacfwd(lambda m: init_feature(camera, cam7, m))(uv_rho)   # (6,3)
-
-    r_add = jnp.asarray(
-        [pixel_error_x ** 2, pixel_error_y ** 2, rho_sd ** 2], dtype=dtype)
-
-    # New block row against the whole current state (addFeatureToCovariance
-    # Matrix, AddMapFeature.cpp:272): cross = J1 @ P[0:7, :].
-    cross = J1 @ P[:7, :]                                   # (6, N)
-    block = cross[:, :7] @ J1.T + J2 @ (r_add[:, None] * J2.T)  # (6, 6)
-
-    off = CAM_DIM + FEAT_DIM * slot
-    P_new = jax.lax.dynamic_update_slice(P, cross, (off, jnp.int32(0)))
-    P_new = jax.lax.dynamic_update_slice(P_new, cross.T, (jnp.int32(0), off))
-    P_new = jax.lax.dynamic_update_slice(P_new, block, (off, off))
-
-    x_new = jax.lax.dynamic_update_slice(state.x, feat, (off,))
-
-    valid_i = valid.astype(jnp.int32)
-    return state._replace(
-        x=jnp.where(valid, x_new, state.x),
-        P=jnp.where(valid, P_new, P),
-        active=state.active.at[slot].set(valid | state.active[slot]),
-        is_xyz=state.is_xyz.at[slot].set(
-            jnp.where(valid, False, state.is_xyz[slot])),
-        times_predicted=state.times_predicted.at[slot].multiply(1 - valid_i),
-        times_matched=state.times_matched.at[slot].multiply(1 - valid_i),
-        descriptors=state.descriptors.at[slot].set(
-            jnp.where(valid, desc, state.descriptors[slot])),
-    )
-
-
 def add_features(state: SlamState, camera: Camera, config: SlamConfig,
                  cand_uv: jnp.ndarray, cand_desc: jnp.ndarray,
                  cand_valid: jnp.ndarray) -> SlamState:
-    """Add up to C candidate measurements into free slots (sequential scan,
-    addFeaturesToStateAndCovariance, AddMapFeature.cpp:354-367)."""
+    """Add up to C candidate measurements into free slots, batched.
+
+    The reference adds sequentially (addFeaturesToStateAndCovariance,
+    AddMapFeature.cpp:354-367), but the sequential result is available in
+    closed form: each new feature's init Jacobian J1 only reads the camera
+    pose block P[0:7, :], which no addition modifies, and the cross block
+    between two new features c, d is J1_c P77 J1_d^T.  So the whole batch
+    is three einsums plus scatters -- bit-identical to the sequential loop,
+    with no O(C) chain of N x N covariance copies.
+    """
     Fslots = state.n_features
+    dtype = state.P.dtype
+    C = cand_uv.shape[0]
+    N = state.P.shape[0]
+
     free_slots = jnp.nonzero(~state.active, size=Fslots, fill_value=Fslots)[0]
-    n_free = jnp.sum(~state.active)
+    n_free = jnp.sum((~state.active).astype(jnp.int32))
     ranks = jnp.cumsum(cand_valid.astype(jnp.int32)) - 1
     ok = cand_valid & (ranks < n_free)
-    slots = free_slots[jnp.clip(ranks, 0, Fslots - 1)]
-    slots = jnp.clip(slots, 0, Fslots - 1).astype(jnp.int32)
+    # Invalid candidates get an out-of-range slot so every scatter below
+    # drops their updates (JAX default scatter mode discards OOB indices);
+    # this also prevents index collisions with valid candidates.
+    slots = jnp.where(ok, free_slots[jnp.clip(ranks, 0, Fslots - 1)],
+                      Fslots).astype(jnp.int32)
 
     ekf = config.ekf
-    cam = config.camera
+    camcal = config.camera
+    cam7 = state.x[:7]
+    rho0 = jnp.asarray(ekf.init_inv_depth_rho, dtype=dtype)
 
-    def body(st, inputs):
-        uv, desc, slot, valid = inputs
-        st = _add_one(st, camera, uv, desc, slot, valid,
-                      cam.pixel_error_x, cam.pixel_error_y,
-                      ekf.inverse_depth_rho_sd, ekf.init_inv_depth_rho)
-        return st, None
+    def feat_and_jacs(uv):
+        uv_rho = jnp.concatenate([uv, rho0[None]])
+        f = init_feature(camera, cam7, uv_rho)
+        J1 = jax.jacfwd(lambda c: init_feature(camera, c, uv_rho))(cam7)
+        J2 = jax.jacfwd(
+            lambda m: init_feature(camera, cam7, m))(uv_rho)
+        return f, J1, J2
 
-    state, _ = jax.lax.scan(body, state, (cand_uv, cand_desc, slots, ok))
-    return state
+    feats, J1, J2 = jax.vmap(feat_and_jacs)(cand_uv)    # (C,6) (C,6,7) (C,6,3)
+
+    r_add = jnp.asarray([camcal.pixel_error_x ** 2, camcal.pixel_error_y ** 2,
+                         ekf.inverse_depth_rho_sd ** 2], dtype=dtype)
+
+    P = state.P
+    P77 = P[:7, :7]
+    rows = jnp.einsum("cij,jn->cin", J1, P[:7, :])        # (C, 6, N)
+    B = jnp.einsum("cij,jk->cik", J1, P77)                # (C, 6, 7)
+    cross = jnp.einsum("cik,djk->cidj", B, J1)            # (C, 6, C, 6)
+    noise = jnp.einsum("cik,k,cjk->cij", J2, r_add, J2)   # (C, 6, 6)
+
+    # overwrite the columns of ``rows`` that land on other new slots with the
+    # new-new cross blocks (those columns are zero in P pre-add)
+    dim_idx = (CAM_DIM + FEAT_DIM * slots[:, None]
+               + jnp.arange(FEAT_DIM)[None, :])           # (C, 6)
+    ok_f = ok.astype(dtype)
+    cross = cross * ok_f[None, None, :, None]             # mask invalid d
+    rows = rows.at[:, :, dim_idx.reshape(-1)].set(
+        cross.reshape(C, FEAT_DIM, C * FEAT_DIM))
+    # own diagonal block gets the measurement noise term
+    idx_c = jnp.arange(C)
+    diag = (jnp.einsum("cik,cjk->cij", B, J1) + noise)    # (C, 6, 6)
+    rows = rows.at[idx_c[:, None, None],
+                   jnp.arange(FEAT_DIM)[None, :, None],
+                   dim_idx[:, None, :]].set(diag)
+
+    # all scatters below drop updates at the OOB indices of invalid
+    # candidates automatically
+    flat_idx = dim_idx.reshape(-1)                        # (C*6,)
+    flat_rows = rows.reshape(C * FEAT_DIM, N)
+    P_new = P.at[flat_idx, :].set(flat_rows)
+    P_new = P_new.at[:, flat_idx].set(flat_rows.T)
+
+    x_new = state.x.at[flat_idx].set(feats.reshape(-1))
+    zeros_c = jnp.zeros((C,), jnp.int32)
+    return state._replace(
+        x=x_new,
+        P=P_new,
+        active=state.active.at[slots].set(True),
+        is_xyz=state.is_xyz.at[slots].set(False),
+        times_predicted=state.times_predicted.at[slots].set(zeros_c),
+        times_matched=state.times_matched.at[slots].set(zeros_c),
+        descriptors=state.descriptors.at[slots].set(cand_desc),
+    )

@@ -1,0 +1,77 @@
+"""Multi-device sharding of the filter over a `jax.sharding.Mesh`.
+
+No reference counterpart -- the reference is single-threaded C++ (SURVEY.md
+section 2.7).  The scaling dimension of EKF-SLAM is the map: the dense
+covariance P is (13 + 6 F)^2 and every hot step is a P-sized matmul
+(predict cross strips, H P, (I - K H) P, batched RANSAC gains).  The
+design:
+
+  * P is block-row sharded over the mesh axis ``p``: each device owns a
+    contiguous strip of rows.  Row-sharded P makes H P row-local
+    (H is small and replicated) and the rank-2M downdate
+    P -= K (H P) an outer product of a replicated (2M, N) with a sharded
+    (N, 2M) -- XLA inserts the all-gathers/psums over ICI.
+  * x, the slot metadata, and the image pipeline are replicated (tiny).
+
+`make_sharded_step` returns the full frame step jitted with these
+shardings; XLA partitions every P-sized op and places collectives.  This
+is the configuration exercised by __graft_entry__.dryrun_multichip on a
+virtual device mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from openekfmonoslam_tpu.engine.step import SlamRuntime
+from openekfmonoslam_tpu.filter.state import SlamState
+
+
+def make_mesh(devices=None, axis: str = "p") -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.asarray(devices), (axis,))
+
+
+def state_shardings(mesh: Mesh, axis: str = "p") -> SlamState:
+    """A SlamState-shaped pytree of NamedShardings: P row-sharded, rest
+    replicated."""
+    rep = NamedSharding(mesh, P())
+    return SlamState(
+        x=rep,
+        P=NamedSharding(mesh, P(axis, None)),
+        active=rep,
+        is_xyz=rep,
+        times_predicted=rep,
+        times_matched=rep,
+        descriptors=rep,
+        rng=rep,
+        frame=rep,
+    )
+
+
+def shard_state(state: SlamState, mesh: Mesh, axis: str = "p") -> SlamState:
+    shardings = state_shardings(mesh, axis)
+    return jax.tree.map(jax.device_put, state, shardings)
+
+
+def make_sharded_step(runtime: SlamRuntime, mesh: Mesh, axis: str = "p"):
+    """The full frame step jitted with P row-sharded over ``mesh``."""
+    sh = state_shardings(mesh, axis)
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        runtime.step,
+        in_shardings=(sh, rep),
+        out_shardings=(sh, rep),
+    )
+
+
+def make_sharded_init(runtime: SlamRuntime, mesh: Mesh, axis: str = "p"):
+    sh = state_shardings(mesh, axis)
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        runtime.init_step,
+        in_shardings=(sh, rep),
+        out_shardings=sh,
+    )

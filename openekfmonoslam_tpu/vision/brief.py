@@ -79,6 +79,44 @@ def extract(smoothed: jnp.ndarray, yx: jnp.ndarray, pattern: jnp.ndarray
     return words                                      # (K, B/32)
 
 
+def dense_descriptors(smoothed: jnp.ndarray, pattern) -> jnp.ndarray:
+    """Whole-image descriptors: (W8, H, W) uint32 bit-planes.
+
+    Each of the 256 point-pair tests is a *static-slice* comparison of two
+    shifted copies of the padded image (the pattern is a compile-time
+    constant), so the per-keypoint extraction becomes an 8-word gather
+    instead of 512 scalar gathers -- the layout TPU wants.  One dense pass
+    serves both the matching keypoints and the new-feature keypoints.
+    """
+    import numpy as np_
+    pattern = np_.asarray(pattern)
+    h, w = smoothed.shape
+    half = int(np_.abs(pattern).max())
+    padded = jnp.pad(smoothed, half, mode="edge")
+
+    def shifted(dy, dx):
+        return jax.lax.slice(padded, (half + dy, half + dx),
+                             (half + dy + h, half + dx + w))
+
+    n_bits = pattern.shape[0]
+    words = []
+    for wstart in range(0, n_bits, 32):
+        acc = jnp.zeros((h, w), jnp.uint32)
+        for j in range(32):
+            b = wstart + j
+            dy1, dx1, dy2, dx2 = (int(pattern[b, 0]), int(pattern[b, 1]),
+                                  int(pattern[b, 2]), int(pattern[b, 3]))
+            bit = shifted(dy1, dx1) < shifted(dy2, dx2)
+            acc = acc | (bit.astype(jnp.uint32) << j)
+        words.append(acc)
+    return jnp.stack(words)                       # (W8, H, W)
+
+
+def lookup_descriptors(planes: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
+    """(W8, H, W) planes + (K, 2) keypoints -> (K, W8) packed descriptors."""
+    return planes[:, yx[:, 0], yx[:, 1]].T
+
+
 def hamming_distance(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """(F, W) x (K, W) packed descriptors -> (F, K) int32 Hamming distances
     (the reference's popcount loop, Matching.cpp:74-90, as one vectorized

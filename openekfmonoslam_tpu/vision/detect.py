@@ -64,7 +64,11 @@ def select_zone_balanced(kp_xy: jnp.ndarray, kp_score: jnp.ndarray,
     K = kp_xy.shape[0]
     BIG = jnp.int32(1 << 20)
 
-    def body(carry, _):
+    def cond(carry):
+        avail, pop, picked_idx, n_picked = carry
+        return (n_picked < jnp.minimum(needed, max_new)) & jnp.any(avail)
+
+    def body(carry):
         avail, pop, picked_idx, n_picked = carry
         # zones that still have candidates
         zone_has = jnp.zeros((n_zones,), bool).at[kp_zone].max(avail)
@@ -75,7 +79,7 @@ def select_zone_balanced(kp_xy: jnp.ndarray, kp_score: jnp.ndarray,
         cand_key = jnp.where(cand_ok, kp_score, -jnp.inf)
         kp_sel = jnp.argmax(cand_key)
 
-        do = jnp.any(cand_ok) & (n_picked < needed)
+        do = jnp.any(cand_ok)
 
         # suppress everything inside the exclusion radius of the pick
         # (the mask stamp at :285-290)
@@ -87,12 +91,14 @@ def select_zone_balanced(kp_xy: jnp.ndarray, kp_score: jnp.ndarray,
         picked_idx = picked_idx.at[n_picked].set(
             jnp.where(do, kp_sel.astype(jnp.int32), -1))
         n_picked = n_picked + do.astype(jnp.int32)
-        return (avail, pop, picked_idx, n_picked), None
+        return (avail, pop, picked_idx, n_picked)
 
     init = (kp_avail, zone_pop, jnp.full((max_new,), -1, jnp.int32),
             jnp.int32(0))
-    (_, _, picked_idx, n_picked), _ = jax.lax.scan(
-        body, init, None, length=max_new)
+    # while_loop with early exit: typical steady-state frames need few or
+    # no new features, so this costs ~nothing then (a scan would always pay
+    # max_new iterations)
+    (_, _, picked_idx, n_picked) = jax.lax.while_loop(cond, body, init)
 
     valid = picked_idx >= 0
     idx = jnp.maximum(picked_idx, 0)

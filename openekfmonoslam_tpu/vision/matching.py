@@ -78,9 +78,14 @@ def match_predictions(pred_uv: jnp.ndarray, pred_S: jnp.ndarray,
     F = pred_uv.shape[0]
     dtype = pred_uv.dtype
 
-    d = kp_xy[None, :, :] - pred_uv[:, None, :]          # (F, K, 2)
+    dx = kp_xy[None, :, 0] - pred_uv[:, None, 0]         # (F, K)
+    dy = kp_xy[None, :, 1] - pred_uv[:, None, 1]
     Sinv = _inv_2x2(pred_S)
-    md = jnp.einsum("fki,fij,fkj->fk", d, Sinv, d)
+    # explicit quadratic form: stays in f32 elementwise regardless of the
+    # ambient matmul precision (bf16 dot inputs would round pixel coords)
+    md = (Sinv[:, 0, 0][:, None] * dx * dx
+          + 2.0 * Sinv[:, 0, 1][:, None] * dx * dy
+          + Sinv[:, 1, 1][:, None] * dy * dy)
     gated = (md <= gate) & kp_valid[None, :] & visible[:, None]
 
     dist = brief.hamming_distance(map_desc, kp_desc)     # (F, K) int32
