@@ -131,10 +131,21 @@ class SlamConfig:
     max_hypotheses: int = 96
     seed: int = 0
 
+    # Pad the state vector / covariance to a multiple of this: 13 + 6F is
+    # always odd, so without padding P can neither tile the MXU well nor be
+    # block-row sharded evenly over a device mesh.  Padding dims are
+    # permanently dead (zero P rows/cols, never active).
+    pad_state_to: int = 128
+
     @property
     def state_dim(self) -> int:
-        """13 camera dims + 6 per feature slot."""
+        """Logical dims: 13 camera + 6 per feature slot."""
         return 13 + 6 * self.max_features
+
+    @property
+    def padded_state_dim(self) -> int:
+        p = max(self.pad_state_to, 1)
+        return ((self.state_dim + p - 1) // p) * p
 
 
 # ---------------------------------------------------------------------------

@@ -100,9 +100,12 @@ def add_features(state: SlamState, camera: Camera, config: SlamConfig,
     noise = jnp.einsum("cik,k,cjk->cij", J2, r_add, J2)   # (C, 6, 6)
 
     # overwrite the columns of ``rows`` that land on other new slots with the
-    # new-new cross blocks (those columns are zero in P pre-add)
+    # new-new cross blocks (those columns are zero in P pre-add).
+    # Invalid candidates point past the end of the PADDED state (slot
+    # Fslots would land inside the padding dims, which exist in P).
     dim_idx = (CAM_DIM + FEAT_DIM * slots[:, None]
                + jnp.arange(FEAT_DIM)[None, :])           # (C, 6)
+    dim_idx = jnp.where(ok[:, None], dim_idx, N)
     ok_f = ok.astype(dtype)
     cross = cross * ok_f[None, None, :, None]             # mask invalid d
     rows = rows.at[:, :, dim_idx.reshape(-1)].set(

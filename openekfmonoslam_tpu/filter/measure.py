@@ -130,12 +130,12 @@ def innovation_covariances(P: jnp.ndarray, Hc: jnp.ndarray, Hf: jnp.ndarray
     13x6 cross strip, and its 6x6 diagonal block.
     """
     F = Hc.shape[0]
-    n = P.shape[0]
+    end = CAM_DIM + F * FEAT_DIM
     dtype = P.dtype
     Pcc = P[:CAM_DIM, :CAM_DIM]
-    Pcf = P[:CAM_DIM, CAM_DIM:].reshape(CAM_DIM, F, FEAT_DIM)
+    Pcf = P[:CAM_DIM, CAM_DIM:end].reshape(CAM_DIM, F, FEAT_DIM)
     Pcf = jnp.moveaxis(Pcf, 1, 0)                        # (F, 13, 6)
-    Pff_all = P[CAM_DIM:, CAM_DIM:].reshape(F, FEAT_DIM, F, FEAT_DIM)
+    Pff_all = P[CAM_DIM:end, CAM_DIM:end].reshape(F, FEAT_DIM, F, FEAT_DIM)
     Pff = jnp.diagonal(Pff_all, axis1=0, axis2=2)        # (6, 6, F)
     Pff = jnp.moveaxis(Pff, 2, 0)                        # (F, 6, 6)
 
@@ -146,17 +146,22 @@ def innovation_covariances(P: jnp.ndarray, Hc: jnp.ndarray, Hf: jnp.ndarray
     return S + jnp.eye(2, dtype=dtype)[None, :, :]
 
 
-def dense_H(Hc: jnp.ndarray, Hf: jnp.ndarray) -> jnp.ndarray:
+def dense_H(Hc: jnp.ndarray, Hf: jnp.ndarray, n_total: int = 0
+            ) -> jnp.ndarray:
     """Assemble the sparse per-slot Jacobians into dense H (2F, N).
 
     Row block i has Hc_i in the camera columns and Hf_i in slot i's columns
     (joinJacobians, Update.cpp:222-232, without the compaction).
+    ``n_total`` >= 13 + 6F appends zero columns for padding dims.
     """
     F = Hc.shape[0]
     dtype = Hc.dtype
     idx = jnp.arange(F)
     feat_block = jnp.zeros((F, 2, F, FEAT_DIM), dtype=dtype)
     feat_block = feat_block.at[idx, :, idx, :].set(Hf)
-    H = jnp.concatenate(
-        [Hc, feat_block.reshape(F, 2, F * FEAT_DIM)], axis=-1)
-    return H.reshape(2 * F, CAM_DIM + F * FEAT_DIM)
+    parts = [Hc, feat_block.reshape(F, 2, F * FEAT_DIM)]
+    logical = CAM_DIM + F * FEAT_DIM
+    if n_total and n_total > logical:
+        parts.append(jnp.zeros((F, 2, n_total - logical), dtype=dtype))
+    H = jnp.concatenate(parts, axis=-1)
+    return H.reshape(2 * F, max(n_total, logical))

@@ -56,7 +56,7 @@ def _batched_state_only_updates(state: SlamState, pred: Prediction,
     # P H_i^T for every slot i: (F, N, 2)
     Pc = P[:, :CAM_DIM]                                  # (N, 13)
     PHt = jnp.einsum("nc,fic->fni", Pc, pred.Hc)
-    Pslots = P[:, CAM_DIM:].reshape(N, F, FEAT_DIM)
+    Pslots = P[:, CAM_DIM:CAM_DIM + F * FEAT_DIM].reshape(N, F, FEAT_DIM)
     Pslots = jnp.moveaxis(Pslots, 1, 0)                  # (F, N, 6)
     PHt = PHt + jnp.einsum("fnd,fid->fni", Pslots, pred.Hf)
 
@@ -78,9 +78,12 @@ def _support_counts(states_x: jnp.ndarray, state: SlamState, camera: Camera,
     """(F,) support of each hypothesis: matched features re-predicted within
     ``threshold`` pixels (matchesBelowAThreshold, 1PointRansac.cpp:48-84)."""
 
+    F_slots = state.n_features
+
     def one_hypothesis(xh):
         cam7 = xh[:7]
-        feats = xh[CAM_DIM:].reshape(-1, FEAT_DIM)
+        feats = xh[CAM_DIM:CAM_DIM + F_slots * FEAT_DIM].reshape(
+            -1, FEAT_DIM)
 
         def one_slot(f, xyz):
             uv = measure_one(camera, cam7, f, xyz)

@@ -72,8 +72,9 @@ class SlamState(NamedTuple):
 
     @property
     def features(self) -> jnp.ndarray:
-        """(F, 6) feature slot parameters."""
-        return self.x[CAM_DIM:].reshape(-1, FEAT_DIM)
+        """(F, 6) feature slot parameters (excludes padding dims)."""
+        f = self.active.shape[0]
+        return self.x[CAM_DIM:CAM_DIM + f * FEAT_DIM].reshape(-1, FEAT_DIM)
 
 
 def slot_offsets(n_features: int) -> jnp.ndarray:
@@ -85,16 +86,18 @@ def dim_active_mask(state: SlamState) -> jnp.ndarray:
     """(N,) bool: which state dims are live.
 
     Camera dims always; slot dims when the slot is active, minus the retired
-    3 dims of converted-XYZ slots.
+    3 dims of converted-XYZ slots; trailing padding dims never.
     """
     f = state.n_features
+    n = state.x.shape[0]
     cam = jnp.ones((CAM_DIM,), dtype=bool)
     # per-slot dim pattern: inverse-depth all 6; xyz first 3 only
     first3 = jnp.arange(FEAT_DIM) < 3
     per_slot = jnp.where(state.is_xyz[:, None], first3[None, :],
                          jnp.ones((FEAT_DIM,), dtype=bool)[None, :])
     per_slot = per_slot & state.active[:, None]
-    return jnp.concatenate([cam, per_slot.reshape(f * FEAT_DIM)])
+    pad = jnp.zeros((n - CAM_DIM - f * FEAT_DIM,), dtype=bool)
+    return jnp.concatenate([cam, per_slot.reshape(f * FEAT_DIM), pad])
 
 
 def make_initial_state(config: SlamConfig, dtype=jnp.float32) -> SlamState:
@@ -106,7 +109,7 @@ def make_initial_state(config: SlamConfig, dtype=jnp.float32) -> SlamState:
     with EPSILON on the pose block diagonal and the squared initial
     accel SDs on the velocity blocks.
     """
-    n = config.state_dim
+    n = config.padded_state_dim
     f = config.max_features
     eps = jnp.asarray(2.22e-16, dtype=dtype)
 

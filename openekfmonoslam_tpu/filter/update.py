@@ -29,13 +29,13 @@ from openekfmonoslam_tpu.filter.measure import Prediction, dense_H
 from openekfmonoslam_tpu.filter.state import SlamState
 
 
-def masked_innovation(pred: Prediction, z: jnp.ndarray, use: jnp.ndarray
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def masked_innovation(pred: Prediction, z: jnp.ndarray, use: jnp.ndarray,
+                      n_total: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Residual vector (2F,) and masked dense H (2F, N)."""
     dtype = pred.uv.dtype
     m = use[:, None].astype(dtype)
     res = ((z - pred.uv) * m).reshape(-1)
-    H = dense_H(pred.Hc * m[:, :, None], pred.Hf * m[:, :, None])
+    H = dense_H(pred.Hc * m[:, :, None], pred.Hf * m[:, :, None], n_total)
     return res, H
 
 
@@ -53,7 +53,7 @@ def kalman_update(state: SlamState, pred: Prediction, z: jnp.ndarray,
     dtype = P.dtype
     F = pred.uv.shape[0]
 
-    res, H = masked_innovation(pred, z, use)
+    res, H = masked_innovation(pred, z, use, P.shape[0])
     use2 = jnp.repeat(use, 2)                          # (2F,) row mask
 
     HP = H @ P                                         # (2F, N)

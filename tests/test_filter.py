@@ -65,8 +65,9 @@ def make_populated_state(cfg, camera, rng, n_active=4, n_xyz=1):
             if active[i] else np.zeros(6, bool)
             for i in range(cfg.max_features)
         ]),
+        np.zeros(cfg.padded_state_dim - cfg.state_dim, bool),
     ])
-    n = cfg.state_dim
+    n = cfg.padded_state_dim
     A = rng.normal(size=(n, n)) * 0.01
     P = A @ A.T + 0.1 * np.eye(n)
     P = P * np.outer(dim_mask, dim_mask)
@@ -165,7 +166,7 @@ class TestMeasure:
     def test_S_equals_dense_computation(self, cfg, camera, rng):
         state, _ = make_populated_state(cfg, camera, rng)
         pred = meas_mod.predict_measurements(state, camera)
-        H = np.asarray(meas_mod.dense_H(pred.Hc, pred.Hf))
+        H = np.asarray(meas_mod.dense_H(pred.Hc, pred.Hf, cfg.padded_state_dim))
         P = np.asarray(state.P)
         S_dense = (H @ P @ H.T).reshape(cfg.max_features, 2,
                                         cfg.max_features, 2)
@@ -201,7 +202,7 @@ class TestUpdate:
         # --- NumPy compacted equivalent (determineKalmanGain Update.cpp:92,
         # stateUpdate :116, covarianceUpdate :214) ---
         P = np.asarray(state.P)
-        H = np.asarray(meas_mod.dense_H(pred.Hc, pred.Hf))
+        H = np.asarray(meas_mod.dense_H(pred.Hc, pred.Hf, cfg.padded_state_dim))
         rows = np.repeat(use, 2)
         act = dim_mask
         Hcomp = H[np.ix_(rows, act)]
