@@ -34,6 +34,10 @@ def load_frames(n):
 
 def main():
     import jax
+
+    # persistent compile cache: repeat runs skip the ~50s XLA compile
+    jax.config.update("jax_compilation_cache_dir", ".jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from openekfmonoslam_tpu.config import auto_max_features, load_config
