@@ -1,0 +1,51 @@
+"""Checkpoint / resume for the full filter state.
+
+The reference serializes per-frame state write-only (State::write,
+State.cpp:339-360) and never implemented restore -- ``State::read`` is
+``assert(false)`` (State.cpp:364-367).  Here a checkpoint is the complete
+jit carry (x, P, slot metadata, PRNG key, frame counter), so a resumed run
+continues bit-exactly; this is also the elastic-recovery primitive for
+multi-host runs (an EKF step is cheap to replay from the last checkpoint).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from openekfmonoslam_tpu.filter.state import SlamState
+
+_FIELDS = SlamState._fields
+
+
+def save_checkpoint(path: str, state: SlamState) -> None:
+    arrays = {f: np.asarray(getattr(state, f)) for f in _FIELDS}
+    np.savez_compressed(path, **arrays)
+
+
+def load_checkpoint(path: str, like: SlamState | None = None) -> SlamState:
+    """Load a checkpoint; ``like`` (e.g. a fresh make_initial_state) pins
+    dtypes/sharding expectations when provided."""
+    with np.load(path) as data:
+        arrays = {f: data[f] for f in _FIELDS}
+    if like is not None:
+        for f in _FIELDS:
+            want = getattr(like, f)
+            got = arrays[f]
+            if tuple(want.shape) != tuple(got.shape):
+                raise ValueError(
+                    f"checkpoint field {f} has shape {got.shape}, "
+                    f"expected {want.shape}")
+            arrays[f] = got.astype(want.dtype)
+    return SlamState(**{f: jnp.asarray(arrays[f]) for f in _FIELDS})
+
+
+def reset_map(state: SlamState, init_like: SlamState) -> SlamState:
+    """Relocalization hook: drop the whole map, keep the camera pose and
+    velocities, reinitialize the covariance (resetEKFMap,
+    MapManagement.cpp:263-275 -- wired but disabled in the reference at
+    EKF.cpp:587-588; first-class here as the divergence recovery path)."""
+    P = init_like.P
+    x = init_like.x.at[:13].set(state.x[:13])
+    return init_like._replace(x=x, P=P, frame=state.frame, rng=state.rng)

@@ -243,6 +243,70 @@ class SlamRuntime:
         return state, record
 
     # ------------------------------------------------------------------
+    def step_injected(self, state: SlamState, z: jnp.ndarray,
+                      matched: jnp.ndarray,
+                      new_uv: jnp.ndarray | None = None,
+                      new_desc: jnp.ndarray | None = None,
+                      new_valid: jnp.ndarray | None = None
+                      ) -> tuple[SlamState, StepRecord]:
+        """The filter pipeline with *injected* per-slot measurements.
+
+        The TPU analog of the reference's HandMatching replay harness
+        (HandMatching.cpp:37-99): run predict / RANSAC / updates / map
+        maintenance on externally supplied matches, decoupling the filter
+        math from the vision front-end for golden tests and offline replay.
+        ``z`` is (F, 2) measured pixels for ``matched`` slots; optional
+        new-feature candidates are added afterwards.
+        """
+        with jax.default_matmul_precision("highest"):
+            cfg = self.config
+            ekf = cfg.ekf
+            cam = self.camera
+            pixel_error = cfg.camera.pixel_error_x
+
+            state = state._replace(frame=state.frame + 1)
+            state = pred_mod.predict(state, cfg)
+            pred = meas_mod.predict_measurements(state, cam)
+            matched = matched & pred.visible
+            z = z.astype(self.dtype)
+
+            res = ransac_mod.ransac(
+                state, pred, z, matched, cam,
+                ekf.ransac_threshold_predict_distance,
+                ekf.ransac_all_inliers_probability, pixel_error,
+                cfg.max_hypotheses)
+            state = upd_mod.update(state, pred, z, res.inliers, pixel_error)
+            pred2 = meas_mod.predict_measurements(state, cam)
+            rescued = ransac_mod.rescue_outliers(
+                pred2, z, res.outliers, ekf.ransac_chi2_threshold)
+            state = upd_mod.update(state, pred2, z, rescued, pixel_error)
+            inliers_all = res.inliers | rescued
+
+            state = mapman.update_counters(state, pred.visible, inliers_all,
+                                           state.descriptors)
+            bad = mapman.bad_feature_mask(
+                state, ekf.good_feature_matching_percent)
+            state = mapman.remove_features(state, bad)
+            state = mapman.convert_one_to_xyz(
+                state, ekf.inverse_depth_linearity_index_threshold)
+
+            if new_uv is not None:
+                state = feat_mod.add_features(
+                    state, cam, cfg, new_uv.astype(self.dtype), new_desc,
+                    new_valid)
+
+            record = StepRecord(
+                x_cam=state.x[:13],
+                P_cam=state.P[:13, :13],
+                total_matches=jnp.sum(matched.astype(jnp.int32)),
+                li_inliers=jnp.sum(res.inliers.astype(jnp.int32)),
+                hi_inliers=jnp.sum(rescued.astype(jnp.int32)),
+                n_active=jnp.sum(state.active.astype(jnp.int32)),
+                n_visible=jnp.sum(pred.visible.astype(jnp.int32)),
+            )
+            return state, record
+
+    # ------------------------------------------------------------------
     def make_initial_state(self) -> SlamState:
         return make_initial_state(self.config, self.dtype)
 
