@@ -97,5 +97,34 @@ def main():
     }))
 
 
+def main_with_watchdog():
+    """The tunneled TPU intermittently hangs at client startup (observed:
+    alternate processes block indefinitely in runtime init).  Run the real
+    benchmark in a child process with a deadline and retry."""
+    import os
+    import subprocess
+
+    if os.environ.get("BENCH_CHILD") == "1":
+        main()
+        return
+
+    env = dict(os.environ, BENCH_CHILD="1")
+    for attempt in range(4):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env, timeout=480, capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            for line in out.stdout.splitlines():
+                if line.startswith("{"):
+                    print(line)
+                    return
+            sys.stderr.write(f"attempt {attempt}: no JSON in output\n"
+                             + out.stdout[-2000:] + out.stderr[-2000:])
+        except subprocess.TimeoutExpired:
+            sys.stderr.write(f"attempt {attempt}: timed out, retrying\n")
+    raise SystemExit("bench failed after 4 attempts")
+
+
 if __name__ == "__main__":
-    main()
+    main_with_watchdog()
