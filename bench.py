@@ -113,7 +113,7 @@ def main_with_watchdog():
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=480, capture_output=True, text=True,
+                env=env, timeout=300, capture_output=True, text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)))
             for line in out.stdout.splitlines():
                 if line.startswith("{"):
