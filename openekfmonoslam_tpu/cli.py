@@ -1,0 +1,134 @@
+"""Command-line app: the samples/EKF/main.cpp equivalent.
+
+    python -m openekfmonoslam_tpu.cli CONFIG SOURCE [OUTPUT] [options]
+
+SOURCE is a directory of %05d-numbered PNG frames (FileSequenceImage
+Generator semantics, main.cpp:50), a video file, or ``camera[:N]`` for a
+live capture device.  Runs EKF init + step over the sequence (main.cpp:
+123-167), writes records/output.yml (+ rendered overlays with --render),
+and emits the resultReader MATLAB report.
+
+Modes:
+  --mode interactive   one device call per frame (default; supports
+                       --render overlays and live sources)
+  --mode scan          device-resident lax.scan over preloaded frames
+                       (maximum throughput; file sequences only)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+
+def build_source(spec: str, begin: int, end: int):
+    from openekfmonoslam_tpu.io import native_loader
+    from openekfmonoslam_tpu.io.sources import (
+        CameraSource,
+        FileSequenceSource,
+        VideoFileSource,
+    )
+
+    if spec.startswith("camera"):
+        dev = int(spec.split(":")[1]) if ":" in spec else 0
+        return CameraSource(dev)
+    if os.path.isdir(spec):
+        if native_loader.available():
+            paths = native_loader.file_sequence_paths(spec, begin, end)
+            paths = [p for p in paths if os.path.exists(p)]
+            if paths:
+                return native_loader.NativeFrameLoader(paths)
+        return FileSequenceSource(spec, begin, end)
+    return VideoFileSource(spec)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("config", help="reference-format YML config file")
+    ap.add_argument("source", help="frame directory / video file / camera[:N]")
+    ap.add_argument("output", nargs="?", default=None,
+                    help="output directory (records, output.yml, report)")
+    ap.add_argument("--begin", type=int, default=1)
+    ap.add_argument("--end", type=int, default=99999)
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--mode", choices=("interactive", "scan"),
+                    default="interactive")
+    ap.add_argument("--render", action="store_true",
+                    help="write overlay PNGs + video (EKF.cpp:294-305)")
+    ap.add_argument("--max-features", type=int, default=None)
+    ap.add_argument("--progress", type=int, default=30)
+    args = ap.parse_args(argv)
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(__file__), "..",
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    overrides = {}
+    if args.max_features:
+        overrides["max_features"] = args.max_features
+
+    from openekfmonoslam_tpu.engine.engine import SlamEngine, run_sequence
+    from openekfmonoslam_tpu.eval.result_reader import emit_matlab_report
+    from openekfmonoslam_tpu.eval.trajectory import summarize
+
+    src = build_source(args.source, args.begin, args.end)
+
+    if args.mode == "scan":
+        import numpy as np
+
+        from openekfmonoslam_tpu.engine.scan_runner import (
+            run_sequence_on_device,
+        )
+        from openekfmonoslam_tpu.engine.step import SlamRuntime
+        from openekfmonoslam_tpu.config import (
+            auto_max_features,
+            load_config,
+        )
+        import dataclasses
+
+        cfg = load_config(args.config)
+        cfg = dataclasses.replace(
+            cfg, max_features=overrides.get(
+                "max_features", auto_max_features(cfg.ekf)))
+        rt = SlamRuntime(cfg)
+        frames = []
+        for i, f in enumerate(src):
+            if args.max_frames is not None and i >= args.max_frames:
+                break
+            frames.append(f)
+        frames = np.stack(frames)
+        t0 = time.perf_counter()
+        state, records = run_sequence_on_device(rt, frames, chunk=64)
+        dt = time.perf_counter() - t0
+        print(f"{len(frames)-1} frames in {dt:.2f}s "
+              f"({(len(frames)-1)/dt:.1f} fps incl. compile)")
+        summary = summarize(records)
+        print(summary)
+        if args.output:
+            os.makedirs(args.output, exist_ok=True)
+            np.save(os.path.join(args.output, "x_cam.npy"),
+                    np.asarray(records.x_cam))
+            emit_matlab_report(records, args.output)
+        return
+
+    engine = SlamEngine(args.config, output_path=args.output,
+                        render=args.render, **overrides)
+    t0 = time.perf_counter()
+    run_sequence(engine, src, max_frames=args.max_frames,
+                 progress_every=args.progress)
+    dt = time.perf_counter() - t0
+    print(f"total {dt:.2f}s for {len(engine.records)} frames "
+          f"({len(engine.records)/max(dt,1e-9):.1f} fps)")
+    print(summarize(engine.records))
+    if args.output:
+        emit_matlab_report(engine.records, args.output)
+    engine.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -35,7 +35,8 @@ from openekfmonoslam_tpu.io.sources import to_gray
 
 class SlamEngine:
     def __init__(self, config: "str | SlamConfig",
-                 output_path: Optional[str] = None, **overrides):
+                 output_path: Optional[str] = None, render: bool = False,
+                 **overrides):
         if isinstance(config, str):
             cfg = load_config(config)
             if "max_features" not in overrides:
@@ -53,10 +54,14 @@ class SlamEngine:
 
         self.output_path = output_path
         self._jsonl = None
+        self._sink = None
         if output_path:
             os.makedirs(output_path, exist_ok=True)
             self._jsonl = open(os.path.join(output_path, "records.jsonl"),
                                "w")
+            if render:
+                from openekfmonoslam_tpu.viz.draw import VideoSink
+                self._sink = VideoSink(output_path)
 
     # ------------------------------------------------------------------
     def init(self, image: np.ndarray) -> None:
@@ -68,7 +73,8 @@ class SlamEngine:
     def step(self, image: np.ndarray) -> dict:
         """EKF::step (EKF.cpp:242-666); returns the per-frame record."""
         t0 = time.perf_counter()
-        gray = jnp.asarray(to_gray(np.asarray(image)))
+        gray_np = to_gray(np.asarray(image))
+        gray = jnp.asarray(gray_np)
         self.state, rec = self._step_fn(self.state, gray)
         jax.block_until_ready(self.state.x)
         dt = time.perf_counter() - t0
@@ -78,6 +84,13 @@ class SlamEngine:
         self.records.append(record)
         if self._jsonl:
             self._jsonl.write(json.dumps(record) + "\n")
+        if self._sink is not None:
+            from openekfmonoslam_tpu.viz.draw import draw_prediction_overlay
+            frame = draw_prediction_overlay(
+                gray_np, np.asarray(rec.pred_uv), np.asarray(rec.pred_S),
+                np.asarray(rec.visible), np.asarray(rec.z),
+                np.asarray(rec.matched))
+            self._sink.write(frame)
         return record
 
     # ------------------------------------------------------------------
@@ -134,6 +147,9 @@ class SlamEngine:
         if self._jsonl:
             self._jsonl.close()
             self._jsonl = None
+        if self._sink is not None:
+            self._sink.close()
+            self._sink = None
         self.write_output_yml()
 
 

@@ -48,6 +48,12 @@ class StepRecord(NamedTuple):
     hi_inliers: jnp.ndarray     # () int32 rescued (high-innovation)
     n_active: jnp.ndarray       # () int32 live landmarks
     n_visible: jnp.ndarray      # () int32 predicted-visible landmarks
+    pred_uv: jnp.ndarray        # (F, 2) predicted pixels (overlay/eval)
+    pred_S: jnp.ndarray         # (F, 2, 2) innovation covariances
+    visible: jnp.ndarray        # (F,) bool
+    z: jnp.ndarray              # (F, 2) matched pixels
+    matched: jnp.ndarray        # (F,) bool
+    inliers: jnp.ndarray        # (F,) bool (low + high innovation)
 
 
 class SlamRuntime:
@@ -239,6 +245,12 @@ class SlamRuntime:
             hi_inliers=jnp.sum(rescued.astype(jnp.int32)),
             n_active=jnp.sum(state.active.astype(jnp.int32)),
             n_visible=jnp.sum(pred.visible.astype(jnp.int32)),
+            pred_uv=pred.uv,
+            pred_S=pred.S,
+            visible=pred.visible,
+            z=m.z,
+            matched=m.matched,
+            inliers=inliers_all,
         )
         return state, record
 
@@ -303,6 +315,12 @@ class SlamRuntime:
                 hi_inliers=jnp.sum(rescued.astype(jnp.int32)),
                 n_active=jnp.sum(state.active.astype(jnp.int32)),
                 n_visible=jnp.sum(pred.visible.astype(jnp.int32)),
+                pred_uv=pred.uv,
+                pred_S=pred.S,
+                visible=pred.visible,
+                z=z,
+                matched=matched,
+                inliers=inliers_all,
             )
             return state, record
 
