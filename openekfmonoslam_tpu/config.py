@@ -80,24 +80,49 @@ class EKFParams:
 class DetectorConfig:
     """Corner detector settings (FeatureDetectorFactory.cpp profiles).
 
-    The TPU build implements a FAST-segment detector with Shi-Tomasi
-    fallback scoring; STAR/SURF/SIFT/ORB profiles from reference configs are
-    mapped onto it (detector choice affects which corners exist, and parity
-    is measured by trajectory ATE, not per-keypoint equality -- SURVEY.md
-    section 7.3).
+    Every reference detector type has a native TPU implementation:
+    FAST (vision/fast.py), STAR/CenSurE (vision/star.py), ORB multi-scale
+    oriented FAST (vision/orb.py), SIFT -> DoG and SURF -> DoH scale-space
+    blobs (vision/dog.py), plus HARRIS / SHI_TOMASI (vision/harris.py) that
+    the reference only uses implicitly (ORB's Harris ranking).  Detector
+    choice affects which corners exist; parity is measured by trajectory
+    ATE, not per-keypoint equality (SURVEY.md section 7.3).
     """
 
     kind: str = "FAST"
-    threshold: float = 20.0
+    threshold: float = 20.0          # FAST arc test threshold
     nonmax_radius: int = 2
+    # STAR (FeatureDetectorFactory.cpp:135-158 parameter set)
+    star_max_size: int = 16
+    star_response_threshold: float = 30.0
+    star_line_threshold: float = 10.0
+    # SIFT (FeatureDetectorFactory.cpp:101-124)
+    sift_sigma: float = 1.6
+    sift_octave_layers: int = 3
+    sift_contrast_threshold: float = 0.04
+    sift_edge_threshold: float = 10.0
+    sift_octaves: int = 2
+    # SURF (FeatureDetectorFactory.cpp:59-82); cv absolute hessian
+    # thresholds don't transfer to the native DoH response -- a relative
+    # quality cut is used instead
+    surf_quality: float = 0.05
+    # ORB (cv::ORB() defaults; scale ladder in the response map)
+    orb_n_levels: int = 4
+    # HARRIS / SHI_TOMASI
+    harris_k: float = 0.04
+    quality: float = 0.01            # relative score cut for blob/corner maps
 
 
 @dataclass(frozen=True)
 class DescriptorConfig:
-    """Binary descriptor settings (DescriptorExtractorFactory.cpp profiles).
+    """Descriptor settings (DescriptorExtractorFactory.cpp profiles).
 
     BRIEF-256: 256 smoothed-pixel comparisons on a 33x33 patch, packed into
     8 uint32 words, matched with Hamming distance (Matching.cpp:74-90).
+    ORB: the same point pairs steered to each keypoint's intensity-centroid
+    orientation (vision/orb.py).  SURF/SIFT: 64-d float gradient descriptor
+    matched with L2 (vision/floatdesc.py), the reference's float-descriptor
+    matching path (Matching.cpp:47-72).
     """
 
     kind: str = "BRIEF"
@@ -105,6 +130,18 @@ class DescriptorConfig:
     patch_size: int = 33
     blur_sigma: float = 2.0
     pattern_seed: int = 7
+    orientation_radius: int = 7      # ORB intensity-centroid window
+    float_radius: int = 10           # SURF patch half-size
+
+    @property
+    def is_binary(self) -> bool:
+        return self.kind.upper() in ("BRIEF", "ORB")
+
+    @property
+    def width(self) -> int:
+        """Per-descriptor storage width (uint32 words or float32 lanes)."""
+        from openekfmonoslam_tpu.vision import floatdesc
+        return self.n_bits // 32 if self.is_binary else floatdesc.DESC_DIM
 
 
 @dataclass(frozen=True)
@@ -277,17 +314,40 @@ def load_config(path: str, **overrides) -> SlamConfig:
     if det_profile and det_profile in doc.get("FeatureDetector", {}):
         section = doc["FeatureDetector"][det_profile]
         kind = str(section.get("Type", "FAST")).upper()
-        threshold = float(section.get("Threshold", 20.0))
-        if kind not in ("FAST",):
-            # STAR/SURF/SIFT/ORB map onto the TPU FAST+Shi-Tomasi detector.
-            threshold = 20.0
-        cfg = dataclasses.replace(
-            cfg, detector=DetectorConfig(kind="FAST", threshold=threshold))
+        det = DetectorConfig(kind=kind)
+        kw: dict = {}
+        # per-kind parameter mapping (FeatureDetectorFactory.cpp:51-165);
+        # the reference profiles carry Type + optional per-kind keys
+        if kind == "FAST":
+            kw["threshold"] = float(section.get("Threshold", 10))
+        elif kind == "STAR":
+            kw["star_max_size"] = int(section.get("MaxSize", 16))
+            kw["star_response_threshold"] = float(
+                section.get("ResponseThreshold", 30))
+            kw["star_line_threshold"] = float(
+                section.get("LineThresholdProjected", 10))
+            kw["nonmax_radius"] = max(
+                1, int(section.get("SuppressNonmaxSize", 5)) // 2)
+        elif kind == "SIFT":
+            kw["sift_octave_layers"] = int(section.get("OctaveLayers", 3))
+            kw["sift_contrast_threshold"] = float(
+                section.get("ContrastThreshold", 0.04))
+            kw["sift_edge_threshold"] = float(
+                section.get("EdgeThreshold", 10))
+            kw["sift_sigma"] = float(section.get("Sigma", 1.6))
+        # SURF's absolute HessianThreshold doesn't transfer (see
+        # DetectorConfig); ORB uses cv defaults -- nothing to map.
+        cfg = dataclasses.replace(cfg, detector=dataclasses.replace(det, **kw))
 
     desc_profile = run.get("DescriptorExtractor")
     if desc_profile and desc_profile in doc.get("DescriptorExtractor", {}):
-        # All descriptor profiles map onto BRIEF-256/Hamming in the TPU build.
-        cfg = dataclasses.replace(cfg, descriptor=DescriptorConfig())
+        section = doc["DescriptorExtractor"][desc_profile]
+        kind = str(section.get("Type", "BRIEF")).upper()
+        if kind == "SIFT":
+            kind = "SURF"  # both take the float gradient-descriptor path
+        n_bits = 8 * int(section.get("BytesLength", 32))  # BRIEF bytes key
+        cfg = dataclasses.replace(
+            cfg, descriptor=DescriptorConfig(kind=kind, n_bits=n_bits))
 
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)

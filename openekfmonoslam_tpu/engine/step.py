@@ -35,7 +35,8 @@ from openekfmonoslam_tpu.filter import predict as pred_mod
 from openekfmonoslam_tpu.filter import ransac as ransac_mod
 from openekfmonoslam_tpu.filter import update as upd_mod
 from openekfmonoslam_tpu.filter.state import SlamState, make_initial_state
-from openekfmonoslam_tpu.vision import brief, detect, fast, matching
+from openekfmonoslam_tpu.vision import detect, fast, matching
+from openekfmonoslam_tpu.vision.frontend import make_frontend
 
 
 class StepRecord(NamedTuple):
@@ -57,19 +58,19 @@ class StepRecord(NamedTuple):
 
 
 class SlamRuntime:
-    """Static per-run context: config scalars, camera, BRIEF pattern.
+    """Static per-run context: config scalars, camera, vision front-end.
 
-    Everything here is baked into the jitted step as constants.
+    Everything here is baked into the jitted step as constants.  The
+    detector/descriptor pair is resolved once by the front-end factory
+    (vision/frontend.py), the TPU analog of the reference's
+    FeatureDetectorFactory / DescriptorExtractorFactory.
     """
 
     def __init__(self, config: SlamConfig):
         self.config = config
         self.dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
         self.camera = Camera.from_calibration(config.camera, self.dtype)
-        self._pattern_np = brief.make_pattern(
-            config.descriptor.n_bits, config.descriptor.patch_size,
-            config.descriptor.pattern_seed)
-        self.pattern = jnp.asarray(self._pattern_np)
+        self.frontend = make_frontend(config)
         self.gate = (config.gate_scale ** 2) * config.chi2_95_2
         ekf = config.ekf
         self.exclusion_radius = config.gate_scale * float(
@@ -78,21 +79,9 @@ class SlamRuntime:
         self.zones_in_a_row = int(
             2 ** ekf.detect_new_features_image_areas_divide_times)
 
-    # -- vision precompute shared by matching and new-feature detection --
-    def _frame_features(self, gray: jnp.ndarray):
-        """Corner scores + dense descriptor planes; precision-insensitive,
-        so traced at default (bf16-pass) matmul precision."""
-        with jax.default_matmul_precision("default"):
-            score = fast.fast_scores(gray, self.config.detector.threshold)
-            score_nms = fast.non_max_suppress(
-                score, self.config.detector.nonmax_radius)
-            smoothed = brief.smooth(gray, self.config.descriptor.blur_sigma)
-            desc_planes = brief.dense_descriptors(smoothed, self._pattern_np)
-        return score_nms, desc_planes
-
     def _border_mask(self, shape):
         h, w = shape
-        m = self.config.descriptor.patch_size // 2 + 1
+        m = self.frontend.border
         ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         return (ys >= m) & (ys < h - m) & (xs >= m) & (xs < w - m)
@@ -110,8 +99,9 @@ class SlamRuntime:
     def _init_step_impl(self, state: SlamState, gray: jnp.ndarray
                         ) -> SlamState:
         cfg = self.config
-        score_nms, desc_planes = self._frame_features(gray)
-        kps = fast.detect_keypoints(score_nms, self._border_mask(gray.shape),
+        aux = self.frontend.precompute(gray)
+        kps = fast.detect_keypoints(aux["score_nms"],
+                                    self._border_mask(gray.shape),
                                     cfg.max_keypoints)
         kp_xy = jnp.stack([kps.yx[:, 1], kps.yx[:, 0]], axis=-1)  # (x, y)
 
@@ -124,8 +114,7 @@ class SlamRuntime:
             self.zones_in_a_row, gray.shape[1], gray.shape[0],
             max_new=cfg.max_features)
 
-        desc = brief.lookup_descriptors(desc_planes,
-                                        kps.yx[picked.kp_index])
+        desc = self.frontend.describe(aux, kps.yx[picked.kp_index])
         state = feat_mod.add_features(
             state, self.camera, cfg,
             picked.uv.astype(self.dtype), desc, picked.valid)
@@ -154,21 +143,22 @@ class SlamRuntime:
         pred = meas_mod.predict_measurements(state, cam)
 
         # [3] detection restricted to the union of gate ellipses
-        score_nms, desc_planes = self._frame_features(gray)
+        aux = self.frontend.precompute(gray)
         in_ellipse = matching.ellipse_union_mask(
             gray.shape, pred.uv, pred.S, pred.visible, self.gate)
         kps = fast.detect_keypoints(
-            score_nms, in_ellipse & self._border_mask(gray.shape),
+            aux["score_nms"], in_ellipse & self._border_mask(gray.shape),
             cfg.max_keypoints)
         kp_xy = jnp.stack([kps.yx[:, 1], kps.yx[:, 0]],
                           axis=-1).astype(self.dtype)
-        kp_desc = brief.lookup_descriptors(desc_planes, kps.yx)
+        kp_desc = self.frontend.describe(aux, kps.yx)
 
         # [4] guided matching
         m = matching.match_predictions(
             pred.uv, pred.S, pred.visible, state.descriptors,
             kp_xy, kps.valid, kp_desc, self.gate,
-            ekf.matching_comp_coef_second_best_vs_first)
+            ekf.matching_comp_coef_second_best_vs_first,
+            distance_fn=self.frontend.distance)
 
         # [5] 1-point RANSAC
         res = ransac_mod.ransac(
@@ -221,7 +211,8 @@ class SlamRuntime:
 
         # detect + add new features away from the frame-start ellipses
         out_mask = ~in_ellipse & self._border_mask(gray.shape)
-        kps2 = fast.detect_keypoints(score_nms, out_mask, cfg.max_keypoints)
+        kps2 = fast.detect_keypoints(aux["score_nms"], out_mask,
+                                     cfg.max_keypoints)
         kp2_xy = jnp.stack([kps2.yx[:, 1], kps2.yx[:, 0]],
                            axis=-1).astype(jnp.float32)
         picked = detect.select_zone_balanced(
@@ -231,8 +222,7 @@ class SlamRuntime:
             jnp.asarray(self.exclusion_radius, jnp.float32),
             self.zones_in_a_row, gray.shape[1], gray.shape[0],
             max_new=cfg.max_features)
-        new_desc = brief.lookup_descriptors(desc_planes,
-                                            kps2.yx[picked.kp_index])
+        new_desc = self.frontend.describe(aux, kps2.yx[picked.kp_index])
         state = feat_mod.add_features(
             state, cam, cfg, picked.uv.astype(self.dtype), new_desc,
             picked.valid & do_mm & (needed > 0))

@@ -123,7 +123,10 @@ def make_initial_state(config: SlamConfig, dtype=jnp.float32) -> SlamState:
     diag = diag.at[10:13].set(config.ekf.init_angular_accel_sd ** 2)
     P = jnp.diag(diag)
 
-    desc_words = config.descriptor.n_bits // 32
+    # storage spec follows the configured descriptor family: packed uint32
+    # words for BRIEF/ORB, float32 lanes for the SURF/SIFT float path
+    desc_words = config.descriptor.width
+    desc_dtype = jnp.uint32 if config.descriptor.is_binary else jnp.float32
     return SlamState(
         x=x,
         P=P,
@@ -131,7 +134,7 @@ def make_initial_state(config: SlamConfig, dtype=jnp.float32) -> SlamState:
         is_xyz=jnp.zeros((f,), dtype=bool),
         times_predicted=jnp.zeros((f,), dtype=jnp.int32),
         times_matched=jnp.zeros((f,), dtype=jnp.int32),
-        descriptors=jnp.zeros((f, desc_words), dtype=jnp.uint32),
+        descriptors=jnp.zeros((f, desc_words), dtype=desc_dtype),
         rng=jax.random.PRNGKey(config.seed),
         frame=jnp.int32(0),
     )

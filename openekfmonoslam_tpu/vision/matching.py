@@ -69,11 +69,14 @@ def match_predictions(pred_uv: jnp.ndarray, pred_S: jnp.ndarray,
                       visible: jnp.ndarray, map_desc: jnp.ndarray,
                       kp_xy: jnp.ndarray, kp_valid: jnp.ndarray,
                       kp_desc: jnp.ndarray, gate: float,
-                      ratio_coef: float) -> Matches:
-    """Gated 2-NN Hamming matching (matchPredictedFeatures, Matching.cpp:181-264).
+                      ratio_coef: float,
+                      distance_fn=brief.hamming_distance) -> Matches:
+    """Gated 2-NN descriptor matching (matchPredictedFeatures, Matching.cpp:181-264).
 
     ``pred_uv`` (F, 2) predicted pixels (x, y); ``pred_S`` (F, 2, 2);
     ``kp_xy`` (K, 2) keypoint pixels (x, y); gate = scaled chi2 threshold.
+    ``distance_fn`` is Hamming for binary descriptors or squared L2 for
+    float ones (the two branches of Matching.cpp computeDistance:47-93).
     """
     F = pred_uv.shape[0]
     dtype = pred_uv.dtype
@@ -88,8 +91,9 @@ def match_predictions(pred_uv: jnp.ndarray, pred_S: jnp.ndarray,
           + Sinv[:, 1, 1][:, None] * dy * dy)
     gated = (md <= gate) & kp_valid[None, :] & visible[:, None]
 
-    dist = brief.hamming_distance(map_desc, kp_desc)     # (F, K) int32
-    BIG = jnp.int32(1 << 20)
+    dist = distance_fn(map_desc, kp_desc)                # (F, K)
+    BIG = (jnp.int32(1 << 20) if jnp.issubdtype(dist.dtype, jnp.integer)
+           else jnp.asarray(1e30, dist.dtype))
     dist_g = jnp.where(gated, dist, BIG)
 
     # 2-NN (findBestNMatches, Matching.cpp:116-144)

@@ -1,0 +1,116 @@
+"""ORB: oriented FAST scoring + rotation-steered BRIEF descriptors.
+
+The reference can run cv::ORB() as both detector and extractor
+(FeatureDetectorFactory.cpp:126-129, DescriptorExtractorFactory.cpp:110-113,
+default parameters).  ORB = multi-scale FAST corners ranked by Harris
+response, each assigned an orientation by the intensity centroid, described
+by BRIEF point-pair tests rotated ("steered") to that orientation.
+
+TPU re-design decisions:
+  * The scale ladder lives in the *detection response* only: FAST scores
+    are computed per dyadic pyramid level and max-merged into one level-0
+    score map, so downstream keypoint selection stays single-pass and
+    statically shaped.  Descriptors are extracted at level 0 (frame-to-
+    frame scale change in video SLAM is ~1%, far below an octave).
+  * The intensity centroid uses a square window (separable weighted sums,
+    pure VPU shift-and-add) instead of OpenCV's circular patch; the angle
+    it yields steers the same point pairs either way.
+  * Steering rotates the pattern offsets per keypoint (vectorized gather);
+    there is no 12-degree quantization because there are no precomputed
+    rotated patterns to index.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from openekfmonoslam_tpu.vision.harris import _shift, harris_scores
+
+
+def centroid_moment_maps(smoothed: jnp.ndarray, radius: int = 7
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense first-moment maps (m10, m01) over a (2r+1)^2 window.
+
+    m10(p) = sum_{dy,dx} dx * I(p+(dy,dx)) and m01 likewise with dy --
+    separable: an unweighted sum along one axis, an offset-weighted sum
+    along the other.
+    """
+    img = smoothed.astype(jnp.float32)
+    col = jnp.zeros_like(img)   # vertical unweighted sum
+    colw = jnp.zeros_like(img)  # vertical dy-weighted sum
+    for d in range(-radius, radius + 1):
+        s = _shift(img, d, 0)
+        col = col + s
+        colw = colw + float(d) * s
+    m10 = jnp.zeros_like(img)
+    m01 = jnp.zeros_like(img)
+    for d in range(-radius, radius + 1):
+        m10 = m10 + float(d) * _shift(col, 0, d)
+        m01 = m01 + _shift(colw, 0, d)
+    return m10, m01
+
+
+def angles_at(m10: jnp.ndarray, m01: jnp.ndarray, yx: jnp.ndarray
+              ) -> jnp.ndarray:
+    """(K,) orientation = atan2(m01, m10) at keypoint pixels."""
+    return jnp.arctan2(m01[yx[:, 0], yx[:, 1]], m10[yx[:, 0], yx[:, 1]])
+
+
+def steered_extract(smoothed: jnp.ndarray, yx: jnp.ndarray,
+                    angle: jnp.ndarray, pattern: jnp.ndarray) -> jnp.ndarray:
+    """Rotation-steered BRIEF: (K, n_bits/32) uint32.
+
+    ``pattern`` is the (n_bits, 4) int32 (dy1, dx1, dy2, dx2) table shared
+    with plain BRIEF (brief.make_pattern); offsets are rotated by each
+    keypoint's angle before sampling.
+    """
+    h, w = smoothed.shape
+    c = jnp.cos(angle)[:, None]                      # (K, 1)
+    s = jnp.sin(angle)[:, None]
+    p = pattern.astype(jnp.float32)
+
+    def rot(dy, dx):
+        ry = jnp.round(s * dx + c * dy).astype(jnp.int32)
+        rx = jnp.round(c * dx - s * dy).astype(jnp.int32)
+        return ry, rx
+
+    ry1, rx1 = rot(p[None, :, 0], p[None, :, 1])     # (K, B)
+    ry2, rx2 = rot(p[None, :, 2], p[None, :, 3])
+    y = yx[:, 0:1]
+    x = yx[:, 1:2]
+    y1 = jnp.clip(y + ry1, 0, h - 1)
+    x1 = jnp.clip(x + rx1, 0, w - 1)
+    y2 = jnp.clip(y + ry2, 0, h - 1)
+    x2 = jnp.clip(x + rx2, 0, w - 1)
+    bits = smoothed[y1, x1] < smoothed[y2, x2]       # (K, B)
+    k, b = bits.shape
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(bits.reshape(k, b // 32, 32).astype(jnp.uint32)
+                   * weights[None, None], axis=-1, dtype=jnp.uint32)
+
+
+def pyramid_fast_scores(gray: jnp.ndarray, threshold: float,
+                        n_levels: int = 4,
+                        harris_rank: bool = True) -> jnp.ndarray:
+    """Multi-scale FAST score map, max-merged at level 0.
+
+    Each dyadic level contributes its FAST-qualifying pixels; scores are the
+    Harris response there when ``harris_rank`` (ORB ranks by Harris), else
+    the FAST excess.  Level-l scores are nearest-upsampled so every level-0
+    pixel carries the best response over scales.
+    """
+    from openekfmonoslam_tpu.vision import fast as fast_mod
+    from openekfmonoslam_tpu.vision.dog import _downsample2, _upsample_to
+
+    h, w = gray.shape
+    img = gray.astype(jnp.float32)
+    merged = jnp.zeros((h, w), jnp.float32)
+    for lvl in range(n_levels):
+        score = fast_mod.fast_scores(img, threshold)
+        if harris_rank:
+            score = jnp.where(score > 0, harris_scores(img), 0.0)
+        merged = jnp.maximum(merged, _upsample_to(score, h, w, 2 ** lvl))
+        if lvl + 1 < n_levels:
+            img = _downsample2(img)
+    return merged
