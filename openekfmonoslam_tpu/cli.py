@@ -58,6 +58,10 @@ def main(argv=None):
     ap.add_argument("--render", action="store_true",
                     help="write overlay PNGs + video (EKF.cpp:294-305)")
     ap.add_argument("--max-features", type=int, default=None)
+    ap.add_argument("--matcher", choices=("descriptor", "ncc"), default=None,
+                    help="guided-matching backend: detected-keypoint "
+                         "descriptors (reference Matching.cpp) or NCC "
+                         "patch correlation (Davison active search)")
     ap.add_argument("--progress", type=int, default=30)
     args = ap.parse_args(argv)
 
@@ -71,6 +75,12 @@ def main(argv=None):
     overrides = {}
     if args.max_features:
         overrides["max_features"] = args.max_features
+    if args.matcher:
+        overrides["matcher"] = args.matcher
+        if args.matcher == "ncc":
+            # NCC stores appearance patches in the descriptor slots
+            from openekfmonoslam_tpu.config import DescriptorConfig
+            overrides["descriptor"] = DescriptorConfig(kind="PATCH")
 
     from openekfmonoslam_tpu.engine.engine import SlamEngine, run_sequence
     from openekfmonoslam_tpu.eval.result_reader import emit_matlab_report

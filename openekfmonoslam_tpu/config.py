@@ -132,6 +132,7 @@ class DescriptorConfig:
     pattern_seed: int = 7
     orientation_radius: int = 7      # ORB intensity-centroid window
     float_radius: int = 10           # SURF patch half-size
+    patch_radius: int = 7            # PATCH (NCC) appearance half-size
 
     @property
     def is_binary(self) -> bool:
@@ -140,8 +141,12 @@ class DescriptorConfig:
     @property
     def width(self) -> int:
         """Per-descriptor storage width (uint32 words or float32 lanes)."""
+        if self.is_binary:
+            return self.n_bits // 32
+        if self.kind.upper() == "PATCH":
+            return (2 * self.patch_radius + 1) ** 2
         from openekfmonoslam_tpu.vision import floatdesc
-        return self.n_bits // 32 if self.is_binary else floatdesc.DESC_DIM
+        return floatdesc.DESC_DIM
 
 
 @dataclass(frozen=True)
@@ -167,6 +172,14 @@ class SlamConfig:
     # 1000, 1PointRansac.cpp:116, but never exceeds the match count).
     max_hypotheses: int = 96
     seed: int = 0
+    # Guided-matching backend: "descriptor" = keypoint detection + gated
+    # 2-NN descriptor matching (the reference's Matching.cpp pipeline);
+    # "ncc" = detection-free patch correlation over the gate region
+    # (Davison active search, the BASELINE north-star matcher; requires
+    # descriptor kind "PATCH").
+    matcher: str = "descriptor"
+    ncc_search_radius: int = 10      # candidate-center half-window (px)
+    ncc_min_corr: float = 0.8        # acceptance threshold on NCC
 
     # Pad the state vector / covariance to a multiple of this: 13 + 6F is
     # always odd, so without padding P can neither tile the MXU well nor be

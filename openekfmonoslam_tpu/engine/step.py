@@ -35,7 +35,7 @@ from openekfmonoslam_tpu.filter import predict as pred_mod
 from openekfmonoslam_tpu.filter import ransac as ransac_mod
 from openekfmonoslam_tpu.filter import update as upd_mod
 from openekfmonoslam_tpu.filter.state import SlamState, make_initial_state
-from openekfmonoslam_tpu.vision import detect, fast, matching
+from openekfmonoslam_tpu.vision import detect, fast, matching, ncc
 from openekfmonoslam_tpu.vision.frontend import make_frontend
 
 
@@ -142,23 +142,30 @@ class SlamRuntime:
         # [2] measurement prediction for every slot
         pred = meas_mod.predict_measurements(state, cam)
 
-        # [3] detection restricted to the union of gate ellipses
+        # [3]+[4] guided matching
         aux = self.frontend.precompute(gray)
         in_ellipse = matching.ellipse_union_mask(
             gray.shape, pred.uv, pred.S, pred.visible, self.gate)
-        kps = fast.detect_keypoints(
-            aux["score_nms"], in_ellipse & self._border_mask(gray.shape),
-            cfg.max_keypoints)
-        kp_xy = jnp.stack([kps.yx[:, 1], kps.yx[:, 0]],
-                          axis=-1).astype(self.dtype)
-        kp_desc = self.frontend.describe(aux, kps.yx)
-
-        # [4] guided matching
-        m = matching.match_predictions(
-            pred.uv, pred.S, pred.visible, state.descriptors,
-            kp_xy, kps.valid, kp_desc, self.gate,
-            ekf.matching_comp_coef_second_best_vs_first,
-            distance_fn=self.frontend.distance)
+        if cfg.matcher == "ncc":
+            # detection-free active search: correlate each landmark's
+            # stored patch over its gate region (vision/ncc.py)
+            m = ncc.ncc_match(
+                aux["smoothed"], pred.uv, pred.S, pred.visible,
+                state.descriptors, self.gate, cfg.descriptor.patch_radius,
+                cfg.ncc_search_radius, cfg.ncc_min_corr)
+        else:
+            # keypoints inside the ellipse union, gated 2-NN descriptors
+            kps = fast.detect_keypoints(
+                aux["score_nms"], in_ellipse & self._border_mask(gray.shape),
+                cfg.max_keypoints)
+            kp_xy = jnp.stack([kps.yx[:, 1], kps.yx[:, 0]],
+                              axis=-1).astype(self.dtype)
+            kp_desc = self.frontend.describe(aux, kps.yx)
+            m = matching.match_predictions(
+                pred.uv, pred.S, pred.visible, state.descriptors,
+                kp_xy, kps.valid, kp_desc, self.gate,
+                ekf.matching_comp_coef_second_best_vs_first,
+                distance_fn=self.frontend.distance)
 
         # [5] 1-point RANSAC
         res = ransac_mod.ransac(

@@ -27,6 +27,7 @@ import numpy as np
 
 from openekfmonoslam_tpu.config import SlamConfig
 from openekfmonoslam_tpu.vision import brief, dog, fast, floatdesc, harris
+from openekfmonoslam_tpu.vision import ncc as ncc_mod
 from openekfmonoslam_tpu.vision import orb as orb_mod
 from openekfmonoslam_tpu.vision import star as star_mod
 
@@ -43,7 +44,11 @@ class Frontend:
         self.desc_dtype = jnp.uint32 if self.is_binary else jnp.float32
         # border: widest sampling window any stage reaches past a keypoint
         self.border = max(desc.patch_size // 2 + 1, desc.orientation_radius,
-                          desc.float_radius, 4)
+                          desc.float_radius, desc.patch_radius, 4)
+        if config.matcher == "ncc" and self.desc_kind != "PATCH":
+            raise ValueError(
+                "matcher='ncc' requires descriptor kind 'PATCH' (the state "
+                f"must hold appearance patches), got {desc.kind!r}")
         if self.desc_kind in ("BRIEF", "ORB"):
             self._pattern_np = brief.make_pattern(
                 desc.n_bits, desc.patch_size, desc.pattern_seed)
@@ -102,7 +107,7 @@ class Frontend:
                 m10, m01 = orb_mod.centroid_moment_maps(
                     smoothed, cfg.descriptor.orientation_radius)
                 aux["m10"], aux["m01"] = m10, m01
-            else:  # float path
+            else:  # float / patch paths
                 aux["smoothed"] = smoothed
         return aux
 
@@ -116,6 +121,9 @@ class Frontend:
                 ang = orb_mod.angles_at(aux["m10"], aux["m01"], yx)
                 return orb_mod.steered_extract(
                     aux["smoothed"], yx, ang, self.pattern)
+            if self.desc_kind == "PATCH":
+                return ncc_mod.extract_patches(
+                    aux["smoothed"], yx, self.config.descriptor.patch_radius)
             return floatdesc.surf64(aux["smoothed"], yx,
                                     self.config.descriptor.float_radius)
 

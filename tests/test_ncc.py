@@ -1,0 +1,109 @@
+"""NCC active-search matcher tests (vision/ncc.py): patch recovery under
+known translation, gating, correlation threshold, and the full engine in
+matcher="ncc" mode."""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from openekfmonoslam_tpu.config import DescriptorConfig, SlamConfig
+from openekfmonoslam_tpu.vision import brief, ncc
+
+
+def textured(rng, h=128, w=128):
+    img = rng.integers(0, 255, (h // 4, w // 4)).astype(np.float32)
+    img = np.kron(img, np.ones((4, 4), np.float32))
+    return np.asarray(brief.smooth(jnp.asarray(img), 1.5))
+
+
+class TestNccMatch:
+    def make_inputs(self, img, true_xy, pred_xy, pr=7):
+        """One landmark whose patch was stored at true_xy, predicted at
+        pred_xy with a loose isotropic S."""
+        patches = ncc.extract_patches(
+            jnp.asarray(img),
+            jnp.asarray([[true_xy[1], true_xy[0]]], jnp.int32), pr)
+        pred_uv = jnp.asarray([pred_xy], jnp.float32)
+        S = jnp.asarray([np.eye(2, dtype=np.float32) * 9.0])
+        visible = jnp.asarray([True])
+        return pred_uv, S, visible, patches
+
+    def test_recovers_true_position(self, rng):
+        img = textured(rng)
+        # true feature at (64, 60); prediction off by (3, -2)
+        pred_uv, S, vis, patches = self.make_inputs(img, (64, 60), (67, 58))
+        m = ncc.ncc_match(jnp.asarray(img), pred_uv, S, vis, patches,
+                          gate=24.0, patch_radius=7, search_radius=8,
+                          min_corr=0.8)
+        assert bool(m.matched[0])
+        assert abs(float(m.z[0, 0]) - 64) <= 1
+        assert abs(float(m.z[0, 1]) - 60) <= 1
+
+    def test_rejects_when_patch_absent(self, rng):
+        img = textured(rng)
+        other = textured(np.random.default_rng(999))
+        patches = ncc.extract_patches(
+            jnp.asarray(other), jnp.asarray([[64, 64]], jnp.int32), 7)
+        pred_uv = jnp.asarray([[64.0, 64.0]], jnp.float32)
+        S = jnp.asarray([np.eye(2, dtype=np.float32) * 9.0])
+        m = ncc.ncc_match(jnp.asarray(img), pred_uv, S,
+                          jnp.asarray([True]), patches,
+                          gate=24.0, patch_radius=7, search_radius=8,
+                          min_corr=0.9)
+        assert not bool(m.matched[0])
+
+    def test_gate_excludes_far_candidates(self, rng):
+        """True position outside the Mahalanobis gate -> no match."""
+        img = textured(rng)
+        # prediction 12 px away with tight S (sd = 1 px): gate excludes it
+        pred_uv, S, vis, patches = self.make_inputs(img, (64, 60), (76, 60))
+        S = jnp.asarray([np.eye(2, dtype=np.float32)])
+        m = ncc.ncc_match(jnp.asarray(img), pred_uv, S, vis, patches,
+                          gate=6.0, patch_radius=7, search_radius=16,
+                          min_corr=0.8)
+        assert not bool(m.matched[0])
+
+    def test_invisible_never_matches(self, rng):
+        img = textured(rng)
+        pred_uv, S, vis, patches = self.make_inputs(img, (64, 60), (64, 60))
+        m = ncc.ncc_match(jnp.asarray(img), pred_uv, S,
+                          jnp.asarray([False]), patches,
+                          gate=24.0, patch_radius=7, search_radius=8)
+        assert not bool(m.matched[0])
+
+
+class TestEngineNcc:
+    def test_engine_tracks_with_ncc(self, rng):
+        from openekfmonoslam_tpu.engine.step import SlamRuntime
+
+        cfg = SlamConfig(
+            max_features=16, max_keypoints=96, max_hypotheses=16,
+            matcher="ncc",
+            descriptor=DescriptorConfig(kind="PATCH", patch_radius=5),
+            ncc_search_radius=6, ncc_min_corr=0.6,
+            ekf=dataclasses.replace(
+                SlamConfig().ekf, min_matches_per_image=10),
+        )
+        rt = SlamRuntime(cfg)
+        big = np.kron(rng.integers(0, 255, (40, 44)),
+                      np.ones((4, 4))).astype(np.float32)
+        big = np.asarray(brief.smooth(jnp.asarray(big), 1.0))
+
+        def frame(sx):
+            return jnp.asarray(big[20:140, 20 + sx:148 + sx])
+
+        state = rt.make_initial_state()
+        state = rt.init_step(state, frame(0))
+        assert int(state.active.sum()) > 0
+        for i in range(1, 4):
+            state, rec = rt.step(state, frame(i))
+            assert np.isfinite(np.asarray(state.x)).all()
+        assert int(rec.total_matches) > 0
+
+    def test_ncc_requires_patch_descriptors(self):
+        from openekfmonoslam_tpu.engine.step import SlamRuntime
+        import pytest
+        cfg = SlamConfig(matcher="ncc")  # BRIEF descriptors
+        with pytest.raises(ValueError, match="PATCH"):
+            SlamRuntime(cfg)
