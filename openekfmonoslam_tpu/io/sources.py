@@ -8,6 +8,9 @@ uint8 grayscale numpy arrays; exhaustion signals end-of-stream.
 Implemented sources:
   * FileSequenceSource      -- %05d-numbered frames in [begin, end]
                                (FileSequenceImageGenerator.cpp:61-97)
+  * FileSequenceOnDemandSource -- same, with wall-clock real-time frame
+                               skipping (FileSequenceOnDemandImageGenerator
+                               .cpp:67-115)
   * VideoFileSource         -- cv2.VideoCapture wrapper
                                (VideoFileImageGenerator.cpp:76-113)
   * CameraSource            -- live capture device
@@ -63,6 +66,40 @@ class FileSequenceSource:
             if not os.path.exists(p):
                 return
             yield to_gray(np.asarray(Image.open(p)))
+
+
+class FileSequenceOnDemandSource(FileSequenceSource):
+    """Real-time simulation: frames are *skipped* according to the wall
+    clock elapsed between pulls times the nominal frame rate
+    (FileSequenceOnDemandImageGenerator.cpp:67-115) -- a slow consumer
+    sees the sequence advance as if it were a live camera.
+    """
+
+    def __init__(self, directory: str, begin: int, end: int,
+                 frame_rate: float, ext: str = "png", prefix: str = "",
+                 digits: int = 5, clock=None):
+        super().__init__(directory, begin, end, ext, prefix, digits)
+        self.frame_rate = frame_rate
+        import time as _time
+        self._clock = clock if clock is not None else _time.perf_counter
+
+    def __iter__(self) -> Iterator[np.ndarray]:
+        from PIL import Image
+        i = self.begin
+        last = self._clock()
+        while i <= self.end:
+            p = self.path(i)
+            if not os.path.exists(p):
+                return
+            yield to_gray(np.asarray(Image.open(p)))
+            now = self._clock()
+            # advance by elapsed-time * fps; a faster-than-fps consumer
+            # re-reads the current frame, exactly like the reference
+            # (framesToSetForward may be 0, FileSequenceOnDemand...cpp:76)
+            skip = int((now - last) * self.frame_rate)
+            i += skip
+            if skip > 0:
+                last = now
 
 
 class VideoFileSource:
