@@ -171,6 +171,11 @@ class SlamConfig:
     # Upper bound on RANSAC hypotheses actually evaluated (reference caps at
     # 1000, 1PointRansac.cpp:116, but never exceeds the match count).
     max_hypotheses: int = 96
+    # Replay the reference's sequential adaptive hypothesis-visit bound
+    # (1PointRansac.cpp:171-177) for bit-parity runs; the default argmax
+    # over all hypotheses picks the same-or-better winner with no
+    # sequential scan (see filter/ransac.py).
+    ransac_parity_visit: bool = False
     seed: int = 0
     # Guided-matching backend: "descriptor" = keypoint detection + gated
     # 2-NN descriptor matching (the reference's Matching.cpp pipeline);

@@ -36,6 +36,7 @@ from openekfmonoslam_tpu.io.sources import to_gray
 class SlamEngine:
     def __init__(self, config: "str | SlamConfig",
                  output_path: Optional[str] = None, render: bool = False,
+                 keyframe_every: int = 0, keyframe_capacity: int = 256,
                  **overrides):
         if isinstance(config, str):
             cfg = load_config(config)
@@ -51,6 +52,19 @@ class SlamEngine:
         self.state = self.runtime.make_initial_state()
         self.records: list[dict] = []
         self.frame_index = 0
+
+        # optional keyframe pose-graph layer (graph/pose_graph.py): snapshot
+        # the camera pose every ``keyframe_every`` frames; loop-closure
+        # edges are added by the relocalization path via add_loop_closure()
+        self.keyframe_every = keyframe_every
+        self.pose_graph = None
+        self._add_kf_fn = None
+        if keyframe_every > 0:
+            from openekfmonoslam_tpu.graph import (add_keyframe,
+                                                   make_pose_graph)
+            self.pose_graph = make_pose_graph(max_nodes=keyframe_capacity,
+                                              max_edges=4 * keyframe_capacity)
+            self._add_kf_fn = jax.jit(add_keyframe)
 
         self.output_path = output_path
         self._jsonl = None
@@ -80,6 +94,19 @@ class SlamEngine:
         dt = time.perf_counter() - t0
 
         self.frame_index += 1
+        if (self.pose_graph is not None
+                and self.frame_index % self.keyframe_every == 0):
+            # information from the filter: inverse of the 6x6 pose
+            # covariance (position block + small-angle orientation block)
+            P = np.asarray(rec.P_cam, np.float64)
+            pose_cov = np.zeros((6, 6))
+            pose_cov[:3, :3] = P[0:3, 0:3]
+            pose_cov[3:, 3:] = 4.0 * P[4:7, 4:7]   # dq_vec -> dtheta = 2 dq
+            pose_cov += np.eye(6) * 1e-9
+            info = jnp.asarray(np.linalg.inv(pose_cov), jnp.float32)
+            self.pose_graph = self._add_kf_fn(
+                self.pose_graph, self.state.x[0:3], self.state.x[3:7], info)
+
         record = self._record_to_dict(rec, dt)
         self.records.append(record)
         if self._jsonl:
@@ -142,6 +169,29 @@ class SlamEngine:
                 f.write(f"    linearVelocity: {r['linear_velocity']}\n")
                 f.write(f"    angularVelocity: {r['angular_velocity']}\n")
         return path
+
+    def add_loop_closure(self, i: int, j: int, dr, dq,
+                         info=None) -> None:
+        """Add a loop-closure edge between keyframes i and j (called by the
+        relocalization path when the camera re-observes keyframe j's
+        scene)."""
+        from openekfmonoslam_tpu.graph import add_loop_edge
+        if self.pose_graph is None:
+            raise RuntimeError("pose graph disabled (keyframe_every=0)")
+        self.pose_graph = add_loop_edge(self.pose_graph, i, j,
+                                        jnp.asarray(dr), jnp.asarray(dq),
+                                        info)
+
+    def optimize_pose_graph(self, iterations: int = 10):
+        """Run Gauss-Newton over the keyframe graph; returns the optimized
+        (K, 3) keyframe positions (drift-corrected trajectory anchor
+        points)."""
+        from openekfmonoslam_tpu.graph import optimize
+        if self.pose_graph is None:
+            raise RuntimeError("pose graph disabled (keyframe_every=0)")
+        self.pose_graph = optimize(self.pose_graph, iterations)
+        k = int(self.pose_graph.n_nodes)
+        return np.asarray(self.pose_graph.node_r[:k])
 
     def close(self) -> None:
         if self._jsonl:

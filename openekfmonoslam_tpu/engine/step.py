@@ -283,7 +283,7 @@ class SlamRuntime:
                 state, pred, z, matched, cam,
                 ekf.ransac_threshold_predict_distance,
                 ekf.ransac_all_inliers_probability, pixel_error,
-                cfg.max_hypotheses)
+                cfg.max_hypotheses, cfg.ransac_parity_visit)
             state = upd_mod.update(state, pred, z, res.inliers, pixel_error)
             pred2 = meas_mod.predict_measurements(state, cam)
             rescued = ransac_mod.rescue_outliers(

@@ -29,6 +29,21 @@ from openekfmonoslam_tpu.filter.measure import Prediction, measure_one, point_in
 from openekfmonoslam_tpu.filter.state import CAM_DIM, FEAT_DIM, SlamState
 
 
+def _solve2x2(S: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 2x2 solve: (..., 2, 2) x (..., 2) -> (..., 2).
+
+    jnp.linalg.solve lowers tiny batched systems to an LU pipeline that is
+    far slower on TPU than four VPU multiplies.
+    """
+    a, c = S[..., 0, 0], S[..., 0, 1]
+    d, e = S[..., 1, 0], S[..., 1, 1]
+    det = a * e - c * d
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    x0 = (e * b[..., 0] - c * b[..., 1]) / det
+    x1 = (a * b[..., 1] - d * b[..., 0]) / det
+    return jnp.stack([x0, x1], axis=-1)
+
+
 class RansacResult(NamedTuple):
     inliers: jnp.ndarray       # (F,) bool: low-innovation inlier set
     outliers: jnp.ndarray     # (F,) bool: matched but not inlier
@@ -66,7 +81,7 @@ def _batched_state_only_updates(state: SlamState, pred: Prediction,
 
     dz = (z - pred.uv)                                   # (F, 2)
     # K_i dz_i = PHt_i S_i^-1 dz_i
-    sol = jnp.linalg.solve(S, dz[..., None])[..., 0]     # (F, 2)
+    sol = _solve2x2(S, dz)                               # (F, 2)
     dx = jnp.einsum("fni,fi->fn", PHt, sol)              # (F, N)
     dx = dx * matched[:, None].astype(dtype)
     return state.x[None, :] + dx
@@ -147,14 +162,29 @@ def _adaptive_visit_scan(support: jnp.ndarray, matched: jnp.ndarray,
 def ransac(state: SlamState, pred: Prediction, z: jnp.ndarray,
            matched: jnp.ndarray, camera: Camera, threshold: float,
            all_inliers_probability: float, pixel_error: float,
-           max_hypotheses: int = 1000) -> RansacResult:
-    """1-point RANSAC over all matched slots (ransac, 1PointRansac.cpp:101-234)."""
+           max_hypotheses: int = 1000,
+           parity_visit: bool = False) -> RansacResult:
+    """1-point RANSAC over all matched slots (ransac, 1PointRansac.cpp:101-234).
+
+    ``parity_visit`` replays the reference's sequential adaptive visit
+    bound (a 96-step scalar lax.scan kept for bit-parity runs); the
+    default evaluates every hypothesis and takes the argmax -- same or
+    better winner (the adaptive bound can only *skip* hypotheses), no
+    sequential dependency.  Ties break to the lowest index in both modes,
+    matching the reference's strict ``>`` comparison.
+    """
     states_x = _batched_state_only_updates(state, pred, z, matched,
                                            pixel_error)
     support, good = _support_counts(states_x, state, camera, z, matched,
                                     threshold)
-    best_i, best_s, visited = _adaptive_visit_scan(
-        support, matched, all_inliers_probability, max_hypotheses)
+    if parity_visit:
+        best_i, best_s, visited = _adaptive_visit_scan(
+            support, matched, all_inliers_probability, max_hypotheses)
+    else:
+        masked_support = jnp.where(matched, support, -1)
+        best_i = jnp.argmax(masked_support).astype(jnp.int32)
+        best_s = jnp.maximum(masked_support[best_i], 0)
+        visited = jnp.sum(matched.astype(jnp.int32))
 
     # The winning hypothesis's support set is the low-innovation inlier set;
     # with no winning hypothesis (best support 0) it is empty.
@@ -174,5 +204,5 @@ def rescue_outliers(pred_new: Prediction, z: jnp.ndarray,
     must come from the post-update state/covariance.
     """
     d = z - pred_new.uv                                  # (F, 2)
-    md = jnp.einsum("fi,fij,fj->f", d, jnp.linalg.inv(pred_new.S), d)
+    md = jnp.sum(d * _solve2x2(pred_new.S, d), axis=-1)  # d^T S^-1 d
     return outliers & pred_new.visible & (md < chi2_threshold)

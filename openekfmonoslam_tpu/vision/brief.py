@@ -99,6 +99,17 @@ def dense_descriptors(smoothed: jnp.ndarray, pattern) -> jnp.ndarray:
     constant), so the per-keypoint extraction becomes an 8-word gather
     instead of 512 scalar gathers -- the layout TPU wants.  One dense pass
     serves both the matching keypoints and the new-feature keypoints.
+
+    Perf note (v5e, measured): ~0.73 ms/frame at 480x640, bound by the
+    misaligned vector loads of the 512 shifted views, NOT by HBM traffic
+    or accumulator read-modify-writes -- uint8 sources, int16 fixed-point
+    sources, and byte-wise accumulators all measure within 7% of f32.  A
+    Pallas kernel holding the frame in VMEM (static-slice comparisons over
+    pre-staged row tiles with halos) compiled but lowered those same
+    shifted reads to per-op sublane/lane rotations and ran 1.6x SLOWER
+    (1.17 ms), with a Mosaic miscompare on the packed planes to boot.
+    Do not re-attempt without a fundamentally different data layout
+    (e.g. pre-rotated dy-planes so only lane shifts remain).
     """
     import numpy as np_
     pattern = np_.asarray(pattern)

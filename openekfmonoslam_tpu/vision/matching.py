@@ -47,22 +47,39 @@ def _inv_2x2(S: jnp.ndarray) -> jnp.ndarray:
 
 def ellipse_union_mask(shape: tuple, centers: jnp.ndarray,
                        S: jnp.ndarray, visible: jnp.ndarray,
-                       gate: float) -> jnp.ndarray:
+                       gate: float, block: int = 4) -> jnp.ndarray:
     """(H, W) bool: pixels inside any visible prediction's gate ellipse.
 
-    Replaces the rasterized detection mask (Matching.cpp:193-202)."""
+    Replaces the rasterized detection mask (Matching.cpp:193-202).
+
+    This mask only *routes the detection budget* -- the exact per-keypoint
+    Mahalanobis gate is re-applied in match_predictions -- so it is
+    evaluated on a ``block``-downsampled grid (the full (F, H, W) quadratic
+    form is ~120 MB of HBM traffic per frame for 96 slots) and dilated by
+    one block to stay a superset of the exact region.  ``block=1`` gives
+    the exact pixel mask.
+    """
     h, w = shape
     Sinv = _inv_2x2(S)                                  # (F, 2, 2)
-    xs = jnp.arange(w, dtype=S.dtype)
-    ys = jnp.arange(h, dtype=S.dtype)
-    dx = xs[None, None, :] - centers[:, 0][:, None, None]   # (F, 1, W)
-    dy = ys[None, :, None] - centers[:, 1][:, None, None]   # (F, H, 1)
+    hb = (h + block - 1) // block
+    wb = (w + block - 1) // block
+    ctr = (block - 1) * 0.5
+    xs = jnp.arange(wb, dtype=S.dtype) * block + ctr
+    ys = jnp.arange(hb, dtype=S.dtype) * block + ctr
+    dx = xs[None, None, :] - centers[:, 0][:, None, None]   # (F, 1, Wb)
+    dy = ys[None, :, None] - centers[:, 1][:, None, None]   # (F, Hb, 1)
     a = Sinv[:, 0, 0][:, None, None]
     b = Sinv[:, 0, 1][:, None, None]
     c = Sinv[:, 1, 1][:, None, None]
-    md = a * dx * dx + 2.0 * b * dx * dy + c * dy * dy      # (F, H, W)
-    inside = (md <= gate) & visible[:, None, None]
-    return jnp.any(inside, axis=0)
+    md = a * dx * dx + 2.0 * b * dx * dy + c * dy * dy      # (F, Hb, Wb)
+    inside = jnp.any((md <= gate) & visible[:, None, None], axis=0)
+    if block == 1:
+        return inside
+    # dilate one block so sub-block offsets can't exclude true members
+    inside = jax.lax.reduce_window(inside, False, jax.lax.bitwise_or,
+                                   (3, 3), (1, 1), "SAME")
+    full = jnp.repeat(jnp.repeat(inside, block, axis=0), block, axis=1)
+    return full[:h, :w]
 
 
 def match_predictions(pred_uv: jnp.ndarray, pred_S: jnp.ndarray,

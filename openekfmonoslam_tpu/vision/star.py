@@ -90,22 +90,23 @@ def star_scores(gray: jnp.ndarray, max_size: int = 16,
     del suppress_nonmax_size  # NMS radius applied by the caller
     resp, sizes = star_responses(gray, max_size)
 
-    best = jnp.zeros(gray.shape, jnp.float32)
-    for i, n in enumerate(sizes):
-        r = resp[i]
-        # line/edge suppression: structure tensor of the response map over
-        # a scale-proportional window; keep tr^2/det < threshold (SIFT-style
-        # edge test; OpenCV projects the response gradient the same way).
-        rx = 0.5 * (_shift(r, 0, 1) - _shift(r, 0, -1))
-        ry = 0.5 * (_shift(r, 1, 0) - _shift(r, -1, 0))
-        rad = max(n, 1)
-        sxx = _box_sum(rx * rx, rad)
-        syy = _box_sum(ry * ry, rad)
-        sxy = _box_sum(rx * ry, rad)
-        det = sxx * syy - sxy * sxy
-        tr = sxx + syy
-        not_line = (det > 0) & (tr * tr < line_threshold_projected * det)
-        score = jnp.where(not_line, jnp.abs(r), 0.0)
-        best = jnp.maximum(best, score)
+    # scale-space maximum of |response| first ...
+    best = jnp.max(jnp.abs(resp), axis=0)
 
+    # ... then ONE line/edge-suppression pass on the merged response map:
+    # structure tensor over a fixed small window, keep tr^2/det < threshold
+    # (SIFT-style edge test; OpenCV projects the response gradient the same
+    # way).  Per-scale windows would multiply the HBM traffic of this
+    # whole-frame pass by ~10x for no behavioral gain: an elongated ridge
+    # in any per-scale response is a ridge in the scale-max too.
+    rx = 0.5 * (_shift(best, 0, 1) - _shift(best, 0, -1))
+    ry = 0.5 * (_shift(best, 1, 0) - _shift(best, -1, 0))
+    sxx = _box_sum(rx * rx, 2)
+    syy = _box_sum(ry * ry, 2)
+    sxy = _box_sum(rx * ry, 2)
+    det = sxx * syy - sxy * sxy
+    tr = sxx + syy
+    not_line = (det > 0) & (tr * tr < line_threshold_projected * det)
+
+    best = jnp.where(not_line, best, 0.0)
     return jnp.where(best >= response_threshold, best, 0.0)

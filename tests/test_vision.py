@@ -119,15 +119,32 @@ class TestMatching:
         S = jnp.asarray([[[25.0, 0.0], [0.0, 4.0]]])   # 5px x 2px sigma
         centers = jnp.asarray([[32.0, 16.0]])
         mask = np.asarray(matching.ellipse_union_mask(
-            (32, 64), centers, S, jnp.asarray([True]), gate=5.9915))
+            (32, 64), centers, S, jnp.asarray([True]), gate=5.9915,
+            block=1))
         assert mask[16, 32]
         # x extent ~ sqrt(25 * 5.99) ~ 12.2; y extent ~ 4.9
         assert mask[16, 32 + 11] and not mask[16, 32 + 14]
         assert mask[16 + 4, 32] and not mask[16 + 6, 32]
         # invisible -> empty
         mask2 = np.asarray(matching.ellipse_union_mask(
-            (32, 64), centers, S, jnp.asarray([False]), gate=5.9915))
+            (32, 64), centers, S, jnp.asarray([False]), gate=5.9915,
+            block=1))
         assert not mask2.any()
+
+    def test_blocked_mask_is_dilated_superset(self):
+        """The default blocked mask must cover every exact-member pixel
+        (it only routes detection budget; over-coverage is harmless)."""
+        S = jnp.asarray([[[25.0, 0.0], [0.0, 4.0]]],)
+        centers = jnp.asarray([[33.0, 17.0]])   # off-block-center
+        exact = np.asarray(matching.ellipse_union_mask(
+            (32, 64), centers, S, jnp.asarray([True]), gate=5.9915,
+            block=1))
+        blocked = np.asarray(matching.ellipse_union_mask(
+            (32, 64), centers, S, jnp.asarray([True]), gate=5.9915,
+            block=4))
+        assert (blocked | ~exact).all()       # exact subset of blocked
+        # and not the whole image
+        assert blocked.sum() < blocked.size * 0.5
 
 
 class TestZoneBalance:
