@@ -1,0 +1,90 @@
+"""Multi-sequence data parallelism: many SLAM streams per chip / mesh.
+
+No reference counterpart (single-threaded C++, SURVEY.md section 2.7).
+Production serving runs one filter per camera stream; on TPU the streams
+are batched: `vmap` of the full frame step over a leading batch axis turns
+every per-frame op into a batched op (the (N, N) covariance work becomes
+(B, N, N) -- deeper MXU utilization and amortized per-op overhead), and the
+batch axis is sharded over the device mesh so each chip owns B/n
+independent streams.  Scaling is embarrassingly parallel -- there is no
+cross-stream communication, so XLA inserts no collectives and efficiency
+is ~100% minus load imbalance.
+
+Combine with parallel/sharding.py (P row-sharded single stream) for the
+two orthogonal axes: 'd' data-parallel over streams, 'p' model-parallel
+over the map covariance of one big-map stream.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from openekfmonoslam_tpu.engine.step import SlamRuntime
+from openekfmonoslam_tpu.filter.state import SlamState
+
+
+def make_batch_states(runtime: SlamRuntime, batch: int,
+                      seeds=None) -> SlamState:
+    """A batched SlamState pytree: every leaf gains a leading (B,) axis."""
+    base = runtime.make_initial_state()
+    states = jax.tree.map(
+        lambda leaf: jnp.broadcast_to(leaf, (batch,) + leaf.shape).copy(),
+        base)
+    if seeds is not None:
+        keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds))
+        states = states._replace(rng=keys)
+    return states
+
+
+def batch_shardings(mesh: Mesh, axis: str = "d"):
+    """Sharding for the batched state/frames: batch axis over the mesh."""
+    return NamedSharding(mesh, P(axis))
+
+
+def make_batched_init(runtime: SlamRuntime, mesh: Mesh | None = None,
+                      axis: str = "d"):
+    f = jax.vmap(runtime.init_step)
+    if mesh is None:
+        return jax.jit(f)
+    sh = NamedSharding(mesh, P(axis))
+    return jax.jit(f, in_shardings=(sh, sh), out_shardings=sh)
+
+
+def make_batched_step(runtime: SlamRuntime, mesh: Mesh | None = None,
+                      axis: str = "d"):
+    f = jax.vmap(runtime.step)
+    if mesh is None:
+        return jax.jit(f)
+    sh = NamedSharding(mesh, P(axis))
+    return jax.jit(f, in_shardings=(sh, sh), out_shardings=(sh, sh))
+
+
+def scan_batched_sequences(runtime: SlamRuntime, states: SlamState,
+                           frames: jnp.ndarray,
+                           mesh: Mesh | None = None, axis: str = "d"):
+    """Device-resident run of B sequences: lax.scan over time of the
+    vmapped step.  ``frames`` is (B, T, H, W); returns (final states,
+    stacked per-frame records with leading (T, B) axes)."""
+    step = jax.vmap(runtime.step)
+
+    def body(carry, frame_t):
+        s, rec = step(carry, frame_t)
+        return s, rec
+
+    frames_tb = jnp.swapaxes(frames, 0, 1)          # (T, B, H, W)
+
+    def run(states, frames_tb):
+        return jax.lax.scan(body, states, frames_tb)
+
+    if mesh is None:
+        return jax.jit(run)(states, frames_tb)
+    sh = NamedSharding(mesh, P(axis))
+    sh_frames = NamedSharding(mesh, P(None, axis))  # records: (T, B, ...)
+    runj = jax.jit(run, in_shardings=(sh, sh_frames),
+                   out_shardings=(sh, sh_frames))
+    states = jax.device_put(states, sh)
+    frames_tb = jax.device_put(frames_tb, sh_frames)
+    return runj(states, frames_tb)
