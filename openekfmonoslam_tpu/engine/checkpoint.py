@@ -41,6 +41,21 @@ def load_checkpoint(path: str, like: SlamState | None = None) -> SlamState:
     return SlamState(**{f: jnp.asarray(arrays[f]) for f in _FIELDS})
 
 
+def save_pose_graph(path: str, graph) -> None:
+    """Checkpoint the keyframe pose graph (graph/pose_graph.py) alongside
+    the filter state -- no reference counterpart (the reference has no
+    graph layer and no restore at all)."""
+    arrays = {f: np.asarray(getattr(graph, f)) for f in graph._fields}
+    np.savez_compressed(path, **arrays)
+
+
+def load_pose_graph(path: str):
+    from openekfmonoslam_tpu.graph.pose_graph import PoseGraph
+    with np.load(path) as data:
+        return PoseGraph(**{f: jnp.asarray(data[f])
+                            for f in PoseGraph._fields})
+
+
 def reset_map(state: SlamState, init_like: SlamState) -> SlamState:
     """Relocalization hook: drop the whole map, keep the camera pose and
     velocities, reinitialize the covariance (resetEKFMap,

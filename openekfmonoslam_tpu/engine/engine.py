@@ -37,6 +37,7 @@ class SlamEngine:
     def __init__(self, config: "str | SlamConfig",
                  output_path: Optional[str] = None, render: bool = False,
                  keyframe_every: int = 0, keyframe_capacity: int = 256,
+                 relocalize_after: int = 0, lost_matches_threshold: int = 4,
                  **overrides):
         if isinstance(config, str):
             cfg = load_config(config)
@@ -56,6 +57,16 @@ class SlamEngine:
         # optional keyframe pose-graph layer (graph/pose_graph.py): snapshot
         # the camera pose every ``keyframe_every`` frames; loop-closure
         # edges are added by the relocalization path via add_loop_closure()
+        # automatic relocalization: after ``relocalize_after`` consecutive
+        # frames with fewer than ``lost_matches_threshold`` matches, drop
+        # the map, keep the pose, and re-bootstrap from the current frame
+        # (the divergence-recovery path the reference wired but disabled,
+        # EKF.cpp:587-588 / MapManagement.cpp:263-275).  0 disables.
+        self.relocalize_after = relocalize_after
+        self.lost_matches_threshold = lost_matches_threshold
+        self.lost_streak = 0
+        self.relocalizations = 0
+
         self.keyframe_every = keyframe_every
         self.pose_graph = None
         self._add_kf_fn = None
@@ -108,6 +119,22 @@ class SlamEngine:
                 self.pose_graph, self.state.x[0:3], self.state.x[3:7], info)
 
         record = self._record_to_dict(rec, dt)
+
+        if self.relocalize_after > 0:
+            if record["total_matches"] < self.lost_matches_threshold:
+                self.lost_streak += 1
+            else:
+                self.lost_streak = 0
+            if self.lost_streak >= self.relocalize_after:
+                from openekfmonoslam_tpu.engine.checkpoint import reset_map
+                fresh = self.runtime.make_initial_state()
+                self.state = reset_map(self.state, fresh)
+                self.state = self._init_fn(self.state, gray)
+                jax.block_until_ready(self.state.x)
+                self.lost_streak = 0
+                self.relocalizations += 1
+                record["relocalized"] = True
+
         self.records.append(record)
         if self._jsonl:
             self._jsonl.write(json.dumps(record) + "\n")

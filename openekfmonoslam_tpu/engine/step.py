@@ -20,7 +20,6 @@ Data flow per frame (phase -> reference location):
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

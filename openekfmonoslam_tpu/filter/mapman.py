@@ -16,7 +16,6 @@ dynamic slices and retires the last 3 dims.
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

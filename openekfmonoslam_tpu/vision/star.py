@@ -22,7 +22,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from openekfmonoslam_tpu.vision.harris import _box_sum, _shift, gradients
+from openekfmonoslam_tpu.vision.harris import _box_sum, _shift
 
 # CenSurE scale ladder (filter half-sizes), as in OpenCV's StarDetector.
 SCALE_LADDER = (1, 2, 3, 4, 6, 8, 11, 16, 22, 32, 45, 64, 90, 128)
@@ -35,8 +35,16 @@ def star_sizes(max_size: int) -> tuple:
 
 
 def _integral(img: jnp.ndarray, pad: int) -> jnp.ndarray:
-    """Edge-padded integral image with a zero top row / left column."""
+    """Edge-padded integral image with a zero top row / left column.
+
+    The image mean is subtracted first: a raw 480x640 uint8 integral peaks
+    near 9e7, beyond f32's 2^24 integer range, so box-sum differences
+    would carry O(8) intensity-unit error.  Centering keeps the running
+    sums ~100x smaller; center-surround responses are differences of
+    means, so the shift cancels exactly.
+    """
     p = jnp.pad(img, pad, mode="edge").astype(jnp.float32)
+    p = p - jnp.mean(p)
     ii = jnp.cumsum(jnp.cumsum(p, axis=0), axis=1)
     return jnp.pad(ii, ((1, 0), (1, 0)))
 

@@ -159,3 +159,16 @@ class TestEngineIntegration:
         kf = eng.optimize_pose_graph(iterations=2)
         assert kf.shape == (3, 3)
         assert np.isfinite(kf).all()
+
+    def test_pose_graph_checkpoint_roundtrip(self, rng, tmp_path):
+        from openekfmonoslam_tpu.engine.checkpoint import (load_pose_graph,
+                                                           save_pose_graph)
+        g = make_pose_graph(max_nodes=8, max_edges=8)
+        g = add_keyframe(g, jnp.zeros(3), qz(0.0))
+        g = add_keyframe(g, jnp.asarray([1.0, 0, 0]), qz(0.2))
+        p = str(tmp_path / "graph.npz")
+        save_pose_graph(p, g)
+        g2 = load_pose_graph(p)
+        for f in g._fields:
+            np.testing.assert_array_equal(np.asarray(getattr(g, f)),
+                                          np.asarray(getattr(g2, f)))
