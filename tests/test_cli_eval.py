@@ -1,0 +1,115 @@
+"""CLI + eval surface tests: the samples/EKF/main analog driven through
+its real argv interface on a synthetic frame directory, and the
+resultReader-equivalent report/trajectory tooling."""
+
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from openekfmonoslam_tpu.eval import result_reader, trajectory
+
+
+@pytest.fixture(scope="module")
+def frame_dir(tmp_path_factory):
+    rng = np.random.default_rng(11)
+    d = tmp_path_factory.mktemp("frames")
+    big = np.kron(rng.integers(0, 255, (40, 44)),
+                  np.ones((4, 4))).astype(np.uint8)
+    for i in range(1, 7):
+        Image.fromarray(big[8:128, 8 + i:136 + i]).save(d / f"{i:05d}.png")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def config_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("cfg") / "config.yml"
+    # minimal reference-format config; camera sized to the test frames
+    p.write_text("""%YAML:1.0
+RunConfiguration:
+  ExtendedKalmanFilter: "EKF"
+  FeatureDetector: "Fast"
+  DescriptorExtractor: "BRIEF"
+  CameraCalibration: "TestCam"
+ExtendedKalmanFilter:
+  EKF:
+    MinMatchesPerImage: "10"
+    MaxMapSize: "120"
+FeatureDetector:
+  Fast:
+    Type: "FAST"
+    Threshold: "20"
+DescriptorExtractor:
+  BRIEF:
+    Type: "BRIEF"
+CameraCalibration:
+  TestCam:
+    PixelsX: "128"
+    PixelsY: "120"
+    FX: "120.0"
+    FY: "120.0"
+    K1: "0.0"
+    K2: "0.0"
+    CX: "64.0"
+    CY: "60.0"
+    DX: "0.01"
+    DY: "0.01"
+    PixelErrorX: "1.0"
+    PixelErrorY: "1.0"
+    AngularVisionX: "60.0"
+    AngularVisionY: "55.0"
+""")
+    return str(p)
+
+
+class TestCli:
+    def test_interactive_run_writes_artifacts(self, frame_dir, config_file,
+                                              tmp_path):
+        from openekfmonoslam_tpu.cli import main
+        out = str(tmp_path / "out")
+        main([config_file, frame_dir, out, "--begin", "1", "--end", "6",
+              "--max-features", "16", "--progress", "0"])
+        assert os.path.exists(os.path.join(out, "records.jsonl"))
+        assert os.path.exists(os.path.join(out, "output.yml"))
+        assert os.path.exists(os.path.join(out, "cameraPositions.m"))
+        assert os.path.exists(os.path.join(out, "timesCpu.m"))
+        txt = open(os.path.join(out, "output.yml")).read()
+        assert '"Frame 1":' in txt and "totalMatches" in txt
+
+    def test_bad_config_path_errors(self, frame_dir):
+        from openekfmonoslam_tpu.cli import main
+        with pytest.raises(FileNotFoundError):
+            main(["/nonexistent/config.yml", frame_dir])
+
+
+class TestEval:
+    def test_ate_rmse_identity_and_offset(self):
+        t = np.linspace(0, 1, 50)
+        traj = np.stack([t, np.zeros_like(t), np.zeros_like(t)], -1)
+        assert trajectory.ate_rmse(traj, traj) < 1e-12
+        off = traj + [0.0, 0.1, 0.0]
+        # Umeyama alignment removes a rigid offset
+        assert trajectory.ate_rmse(off, traj) < 1e-9
+
+    def test_scale_factor_histogram_mode(self):
+        # velocities 2x the robot speed -> scale ~0.5 robot/est
+        v = np.full((100, 3), 0.0)
+        v[:, 0] = 2 * 0.002904
+        sf = trajectory.scale_factor(v, 0.002904)
+        assert 0.4 < sf < 0.6
+
+    def test_matlab_report_files_parse(self, tmp_path):
+        records = [{
+            "position": [0.1 * i, 0.0, 0.0],
+            "orientation": [1.0, 0, 0, 0],
+            "linear_velocity": [0.1, 0, 0],
+            "angular_velocity": [0, 0, 0],
+            "total_matches": 5, "li_inliers": 4, "hi_inliers": 1,
+            "wall_time_s": 0.01,
+        } for i in range(4)]
+        info = result_reader.emit_matlab_report(records, str(tmp_path))
+        assert info["n_frames"] == 4
+        txt = open(tmp_path / "cameraPositions.m").read()
+        assert txt.startswith("function [x, y, z] = cameraPositions()")
+        assert "0.30000000000000004" in txt or "0.3 " in txt or "0.3]" in txt
