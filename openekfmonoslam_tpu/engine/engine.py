@@ -79,11 +79,17 @@ class SlamEngine:
 
         self.output_path = output_path
         self._jsonl = None
+        self._log = None
         self._sink = None
         if output_path:
             os.makedirs(output_path, exist_ok=True)
             self._jsonl = open(os.path.join(output_path, "records.jsonl"),
                                "w")
+            # human-readable per-step state dump (the reference's log.txt
+            # channel, EKF.cpp:135-136 + State::showDetailed,
+            # State.cpp:229-258)
+            self._log = open(os.path.join(output_path, "log.txt"), "w")
+            self._log.write(f"seed: {self.config.seed}\n")
             if render:
                 from openekfmonoslam_tpu.viz.draw import VideoSink
                 self._sink = VideoSink(output_path)
@@ -138,6 +144,16 @@ class SlamEngine:
         self.records.append(record)
         if self._jsonl:
             self._jsonl.write(json.dumps(record) + "\n")
+        if self._log:
+            p, q = record["position"], record["orientation"]
+            self._log.write(
+                f"step {record['frame']}\n"
+                f"  position: {p[0]:.9f} {p[1]:.9f} {p[2]:.9f}\n"
+                f"  orientation: {q[0]:.9f} {q[1]:.9f} {q[2]:.9f} "
+                f"{q[3]:.9f}\n"
+                f"  matches {record['total_matches']} inliers "
+                f"{record['li_inliers']}+{record['hi_inliers']} "
+                f"map {record['n_active']}\n")
         if self._sink is not None:
             from openekfmonoslam_tpu.viz.draw import draw_prediction_overlay
             frame = draw_prediction_overlay(
@@ -224,6 +240,9 @@ class SlamEngine:
         if self._jsonl:
             self._jsonl.close()
             self._jsonl = None
+        if self._log:
+            self._log.close()
+            self._log = None
         if self._sink is not None:
             self._sink.close()
             self._sink = None

@@ -108,8 +108,11 @@ def dense_descriptors(smoothed: jnp.ndarray, pattern) -> jnp.ndarray:
     pre-staged row tiles with halos) compiled but lowered those same
     shifted reads to per-op sublane/lane rotations and ran 1.6x SLOWER
     (1.17 ms), with a Mosaic miscompare on the packed planes to boot.
-    Do not re-attempt without a fundamentally different data layout
-    (e.g. pre-rotated dy-planes so only lane shifts remain).
+    The dy-plane variant (33 pre-shifted row planes so the kernel needs
+    only lane slices) was also tried: identical 1.16 ms and the same
+    miscompare -- the ~1 ms is Mosaic's floor for 512 independent
+    slice-compare ops regardless of alignment.  Do not re-attempt in this
+    op shape.
     """
     import numpy as np_
     pattern = np_.asarray(pattern)
