@@ -61,6 +61,13 @@ def main(argv=None):
                     help="guided-matching backend: detected-keypoint "
                          "descriptors (reference Matching.cpp) or NCC "
                          "patch correlation (Davison active search)")
+    ap.add_argument("--checkpoint-every", type=int, default=0,
+                    help="save an exact-resume checkpoint to "
+                         "OUTPUT/checkpoint.npz every N frames")
+    ap.add_argument("--resume", default=None,
+                    help="restore a checkpoint before processing "
+                         "(frames should continue where the saved run left "
+                         "off)")
     ap.add_argument("--progress", type=int, default=30)
     args = ap.parse_args(argv)
 
@@ -127,9 +134,29 @@ def main(argv=None):
 
     engine = SlamEngine(args.config, output_path=args.output,
                         render=args.render, **overrides)
+    ckpt_path = (os.path.join(args.output, "checkpoint.npz")
+                 if args.output else "checkpoint.npz")
+    if args.resume:
+        engine.resume(args.resume)
     t0 = time.perf_counter()
-    run_sequence(engine, src, max_frames=args.max_frames,
-                 progress_every=args.progress)
+    if args.resume or args.checkpoint_every:
+        # per-frame loop with checkpointing; resume skips EKF::init
+        it = iter(src)
+        if not args.resume:
+            engine.init(next(it))
+        for i, frame in enumerate(it):
+            if args.max_frames is not None and i >= args.max_frames:
+                break
+            rec = engine.step(frame)
+            if (args.checkpoint_every
+                    and rec["frame"] % args.checkpoint_every == 0):
+                engine.save_checkpoint(ckpt_path)
+            if args.progress and (i + 1) % args.progress == 0:
+                print(f"frame {rec['frame']}: "
+                      f"matches={rec['total_matches']}")
+    else:
+        run_sequence(engine, src, max_frames=args.max_frames,
+                     progress_every=args.progress)
     dt = time.perf_counter() - t0
     print(f"total {dt:.2f}s for {len(engine.records)} frames "
           f"({len(engine.records)/max(dt,1e-9):.1f} fps)")

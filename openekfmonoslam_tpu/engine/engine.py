@@ -213,6 +213,25 @@ class SlamEngine:
                 f.write(f"    angularVelocity: {r['angular_velocity']}\n")
         return path
 
+    def save_checkpoint(self, path: str) -> None:
+        """Exact-resume checkpoint of the full filter carry."""
+        from openekfmonoslam_tpu.engine.checkpoint import save_checkpoint
+        save_checkpoint(path, self.state)
+        if self.pose_graph is not None:
+            from openekfmonoslam_tpu.engine.checkpoint import save_pose_graph
+            save_pose_graph(path + ".graph.npz", self.pose_graph)
+
+    def resume(self, path: str) -> None:
+        """Restore a checkpoint (bit-exact continuation; the capability the
+        reference left unimplemented, State.cpp:364-367)."""
+        from openekfmonoslam_tpu.engine.checkpoint import load_checkpoint
+        self.state = load_checkpoint(path, like=self.state)
+        self.frame_index = int(self.state.frame)
+        gpath = path + ".graph.npz"
+        if self.pose_graph is not None and os.path.exists(gpath):
+            from openekfmonoslam_tpu.engine.checkpoint import load_pose_graph
+            self.pose_graph = load_pose_graph(gpath)
+
     def add_loop_closure(self, i: int, j: int, dr, dq,
                          info=None) -> None:
         """Add a loop-closure edge between keyframes i and j (called by the
