@@ -62,6 +62,40 @@ def make_batched_step(runtime: SlamRuntime, mesh: Mesh | None = None,
     return jax.jit(f, in_shardings=(sh, sh), out_shardings=(sh, sh))
 
 
+def batch_state_shardings_2d(mesh: Mesh, d_axis: str = "d",
+                             p_axis: str = "p") -> SlamState:
+    """Shardings for the combined layout: stream batch over ``d_axis``,
+    each stream's covariance block-row sharded over ``p_axis`` -- the full
+    production mesh (multihost.make_host_mesh: 'd' across hosts over DCN,
+    'p' inside each host's ICI domain).
+
+    P is (B, N, N) -> P(d, p, None); x is (B, N) -> P(d); small metadata
+    replicated within the stream's 'p' group.
+    """
+    d = P(d_axis)
+    return SlamState(
+        x=NamedSharding(mesh, d),
+        P=NamedSharding(mesh, P(d_axis, p_axis)),
+        active=NamedSharding(mesh, d),
+        is_xyz=NamedSharding(mesh, d),
+        times_predicted=NamedSharding(mesh, d),
+        times_matched=NamedSharding(mesh, d),
+        descriptors=NamedSharding(mesh, d),
+        rng=NamedSharding(mesh, d),
+        frame=NamedSharding(mesh, d),
+    )
+
+
+def make_batched_step_2d(runtime: SlamRuntime, mesh: Mesh,
+                         d_axis: str = "d", p_axis: str = "p"):
+    """vmapped step jitted with the 2-axis (stream x covariance) layout."""
+    sh_state = batch_state_shardings_2d(mesh, d_axis, p_axis)
+    sh_frames = NamedSharding(mesh, P(d_axis))
+    f = jax.vmap(runtime.step)
+    return jax.jit(f, in_shardings=(sh_state, sh_frames),
+                   out_shardings=(sh_state, NamedSharding(mesh, P(d_axis))))
+
+
 def scan_batched_sequences(runtime: SlamRuntime, states: SlamState,
                            frames: jnp.ndarray,
                            mesh: Mesh | None = None, axis: str = "d"):

@@ -86,3 +86,33 @@ class TestMeshSharded:
         shard_devs = {d for s in states.x.addressable_shards
                       for d in [s.device]}
         assert len(shard_devs) == 8
+
+
+class TestTwoAxisMesh:
+    def test_streams_x_covariance_sharding(self, rt, rng):
+        """The full production layout on a (2, 4) virtual mesh: 2 streams
+        data-parallel, each stream's P block-row sharded over 4 devices."""
+        from jax.sharding import Mesh
+        from openekfmonoslam_tpu.parallel.batch_runner import (
+            batch_state_shardings_2d, make_batched_step_2d)
+
+        devs = np.asarray(jax.devices()).reshape(2, 4)
+        mesh = Mesh(devs, ("d", "p"))
+        b = 2
+        frames = make_frames(rng, b, 3)
+        states = make_batch_states(rt, b)
+        sh = batch_state_shardings_2d(mesh)
+        states = jax.device_put(states, sh)
+        init_b = jax.jit(jax.vmap(rt.init_step), in_shardings=(
+            sh, jax.sharding.NamedSharding(mesh,
+                                           jax.sharding.PartitionSpec("d"))),
+            out_shardings=sh)
+        states = init_b(states, frames[:, 0])
+        step2d = make_batched_step_2d(rt, mesh)
+        states, rec = step2d(states, frames[:, 1])
+        states, rec = step2d(states, frames[:, 2])
+        assert np.isfinite(np.asarray(states.x)).all()
+        assert (np.asarray(rec.total_matches) > 0).all()
+        # P really spans all 8 devices
+        devs_used = {s.device for s in states.P.addressable_shards}
+        assert len(devs_used) == 8
