@@ -22,10 +22,12 @@ import os
 import time
 
 
-def build_source(spec: str, begin: int, end: int):
+def build_source(spec: str, begin: int, end: int,
+                 realtime_fps: float = 0.0):
     from openekfmonoslam_tpu.io import native_loader
     from openekfmonoslam_tpu.io.sources import (
         CameraSource,
+        FileSequenceOnDemandSource,
         FileSequenceSource,
         VideoFileSource,
     )
@@ -34,6 +36,11 @@ def build_source(spec: str, begin: int, end: int):
         dev = int(spec.split(":")[1]) if ":" in spec else 0
         return CameraSource(dev)
     if os.path.isdir(spec):
+        if realtime_fps > 0:
+            # real-time simulation: frames skip with the wall clock
+            # (FileSequenceOnDemandImageGenerator semantics)
+            return FileSequenceOnDemandSource(spec, begin, end,
+                                              frame_rate=realtime_fps)
         if native_loader.available():
             paths = native_loader.file_sequence_paths(spec, begin, end)
             paths = [p for p in paths if os.path.exists(p)]
@@ -68,6 +75,10 @@ def main(argv=None):
                     help="restore a checkpoint before processing "
                          "(frames should continue where the saved run left "
                          "off)")
+    ap.add_argument("--realtime", type=float, default=0.0, metavar="FPS",
+                    help="treat the frame directory as a live source at "
+                         "FPS: skip frames by wall-clock time "
+                         "(FileSequenceOnDemandImageGenerator)")
     ap.add_argument("--progress", type=int, default=30)
     args = ap.parse_args(argv)
 
@@ -92,7 +103,7 @@ def main(argv=None):
     from openekfmonoslam_tpu.eval.result_reader import emit_matlab_report
     from openekfmonoslam_tpu.eval.trajectory import summarize
 
-    src = build_source(args.source, args.begin, args.end)
+    src = build_source(args.source, args.begin, args.end, args.realtime)
 
     if args.mode == "scan":
         import numpy as np

@@ -116,3 +116,13 @@ class TestTwoAxisMesh:
         # P really spans all 8 devices
         devs_used = {s.device for s in states.P.addressable_shards}
         assert len(devs_used) == 8
+
+
+class TestMultihostHelpers:
+    def test_single_process_fallback(self):
+        from openekfmonoslam_tpu.parallel import multihost
+        assert multihost.initialize() is False          # single process
+        mesh = multihost.make_host_mesh()
+        assert mesh.shape["d"] == 1
+        assert mesh.shape["p"] == len(jax.devices())
+        assert multihost.local_batch_slice(8) == slice(0, 8)
