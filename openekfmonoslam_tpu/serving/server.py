@@ -151,10 +151,24 @@ def main(argv=None):
                     help="unix socket path or host:port")
     ap.add_argument("--config", required=True)
     ap.add_argument("--max-features", type=int, default=None)
+    ap.add_argument("--matcher", choices=("descriptor", "ncc"), default=None)
+    ap.add_argument("--keyframe-every", type=int, default=0,
+                    help="enable the pose-graph layer in every session")
+    ap.add_argument("--relocalize-after", type=int, default=0,
+                    help="auto map-reset after N consecutive lost frames")
     args = ap.parse_args(argv)
     kwargs = {}
     if args.max_features:
         kwargs["max_features"] = args.max_features
+    if args.matcher:
+        kwargs["matcher"] = args.matcher
+        if args.matcher == "ncc":
+            from openekfmonoslam_tpu.config import DescriptorConfig
+            kwargs["descriptor"] = DescriptorConfig(kind="PATCH")
+    if args.keyframe_every:
+        kwargs["keyframe_every"] = args.keyframe_every
+    if args.relocalize_after:
+        kwargs["relocalize_after"] = args.relocalize_after
     server = SlamServer(args.config, **kwargs)
     print(f"serving on {args.socket}")
     server.serve(args.socket)
