@@ -53,6 +53,54 @@ def write_scale_factor(path: str, name: str, factor: float) -> None:
         f.write(f"function [x] = {name}()\nx = [{factor:.17g}];\nend\n")
 
 
+def read_output_yml(path: str) -> list:
+    """Parse an output.yml (ours or reference-shaped) back into records.
+
+    The reference's resultReader consumes output.yml frame nodes
+    (resultReader/main.cpp:82-150); this is the matching input side so the
+    report/trajectory tooling runs on dumped files, not only live runs.
+    """
+    import re
+    records: list[dict] = []
+    cur: dict | None = None
+    vec = re.compile(r"\[([^\]]*)\]")
+
+    def parse_vec(line):
+        m = vec.search(line)
+        return [float(v) for v in m.group(1).split(",")] if m else []
+
+    with open(path) as f:
+        for line in f:
+            s = line.strip()
+            if s.startswith('"Frame'):
+                if cur:
+                    records.append(cur)
+                cur = {"frame": int(s.split()[1].rstrip('":'))}
+            elif cur is not None:
+                if s.startswith("totalMatches:"):
+                    cur["total_matches"] = int(s.split(":")[1])
+                elif s.startswith("liInliers:"):
+                    cur["li_inliers"] = int(s.split(":")[1])
+                elif s.startswith("hiInliers:"):
+                    cur["hi_inliers"] = int(s.split(":")[1])
+                elif s.startswith("position:"):
+                    cur["position"] = parse_vec(s)
+                elif s.startswith("orientation:"):
+                    cur["orientation"] = parse_vec(s)
+                elif s.startswith("linearVelocity:"):
+                    cur["linear_velocity"] = parse_vec(s)
+                elif s.startswith("angularVelocity:"):
+                    cur["angular_velocity"] = parse_vec(s)
+    if cur:
+        records.append(cur)
+    for r in records:
+        r.setdefault("wall_time_s", 0.0)
+        r.setdefault("hi_inliers", 0)
+        r.setdefault("li_inliers", 0)
+        r.setdefault("total_matches", 0)
+    return records
+
+
 def _extract(records):
     if isinstance(records, list):
         pos = np.asarray([r["position"] for r in records])

@@ -113,3 +113,35 @@ class TestEval:
         txt = open(tmp_path / "cameraPositions.m").read()
         assert txt.startswith("function [x, y, z] = cameraPositions()")
         assert "0.30000000000000004" in txt or "0.3 " in txt or "0.3]" in txt
+
+    def test_output_yml_roundtrip(self, tmp_path):
+        """output.yml written by the engine parses back into records that
+        feed the report tooling (resultReader input parity)."""
+        from openekfmonoslam_tpu.engine.engine import SlamEngine
+        from openekfmonoslam_tpu.config import SlamConfig
+        import jax.numpy as jnp
+        from openekfmonoslam_tpu.vision import brief
+
+        rng = np.random.default_rng(5)
+        big = np.kron(rng.integers(0, 255, (40, 44)),
+                      np.ones((4, 4))).astype(np.float32)
+        big = np.asarray(brief.smooth(jnp.asarray(big), 1.0))
+        cfg = SlamConfig(max_features=12, max_keypoints=64,
+                         max_hypotheses=12)
+        eng = SlamEngine(cfg, output_path=str(tmp_path / "o"))
+        eng.init(big[20:140, 20:148])
+        for i in range(1, 4):
+            eng.step(big[20:140, 20 + i:148 + i])
+        eng.close()
+
+        loaded = result_reader.read_output_yml(
+            str(tmp_path / "o" / "output.yml"))
+        assert len(loaded) == 3
+        for got, want in zip(loaded, eng.records):
+            assert got["total_matches"] == want["total_matches"]
+            np.testing.assert_allclose(got["position"], want["position"],
+                                       rtol=1e-12)
+        # parsed records drive the report tooling
+        info = result_reader.emit_matlab_report(loaded,
+                                                str(tmp_path / "rep"))
+        assert info["n_frames"] == 3
