@@ -50,7 +50,8 @@ def ncc_match(smoothed: jnp.ndarray, pred_uv: jnp.ndarray,
               pred_S: jnp.ndarray, visible: jnp.ndarray,
               patches: jnp.ndarray, gate: float,
               patch_radius: int, search_radius: int,
-              min_corr: float = 0.8) -> Matches:
+              min_corr: float = 0.8,
+              refresh_below: float = 0.93) -> Matches:
     """Correlate every landmark's patch over its gated search window.
 
     ``patches`` (F, (2pr+1)^2) normalized patch vectors; ``pred_uv``
@@ -121,16 +122,42 @@ def ncc_match(smoothed: jnp.ndarray, pred_uv: jnp.ndarray,
     bx = best % ss
     zx = jnp.take_along_axis(cand_x.reshape(f, -1), best[:, None], 1)[:, 0]
     zy = jnp.take_along_axis(cand_y.reshape(f, -1), best[:, None], 1)[:, 0]
-    del by, bx
+
+    # subpixel peak: 1-D parabola fits through the 3-point neighborhoods.
+    # Integer-pixel NCC peaks cost ~5x the lateral drift of the descriptor
+    # matcher on the s3 run; the quadratic refinement recovers it.
+    def neighbor(dy, dx):
+        iy = jnp.clip(by + dy, 0, ss - 1)
+        ix = jnp.clip(bx + dx, 0, ss - 1)
+        return jnp.take_along_axis(flat, (iy * ss + ix)[:, None], 1)[:, 0]
+
+    c0 = best_ncc
+    def para_offset(m, p):
+        denom = m - 2.0 * c0 + p
+        off = jnp.where(jnp.abs(denom) > 1e-9,
+                        0.5 * (m - p) / denom, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    # invalid neighbors carry the -2 sentinel; fall back to no offset there
+    xm, xp = neighbor(0, -1), neighbor(0, 1)
+    ym, yp = neighbor(-1, 0), neighbor(1, 0)
+    dx_sub = jnp.where((xm > -1.5) & (xp > -1.5), para_offset(xm, xp), 0.0)
+    dy_sub = jnp.where((ym > -1.5) & (yp > -1.5), para_offset(ym, yp), 0.0)
+    zx = zx + dx_sub.astype(zx.dtype)
+    zy = zy + dy_sub.astype(zy.dtype)
 
     matched = visible & (best_ncc >= min_corr)
     z = jnp.where(matched[:, None], jnp.stack([zx, zy], axis=-1), 0.0)
 
-    # refresh patches at the matched positions (MapManagement descriptor
-    # refresh analog, MapManagement.cpp:104-112)
+    # LAZY patch refresh (MapManagement descriptor-refresh analog,
+    # MapManagement.cpp:104-112): re-storing the template every frame
+    # accumulates sub-pixel template drift; keep the stored patch while it
+    # still correlates strongly and only refresh when appearance has
+    # genuinely changed (best NCC below ``refresh_below``).
     zyx = jnp.stack([jnp.round(zy), jnp.round(zx)], -1).astype(jnp.int32)
     new_patches = extract_patches(img, zyx, pr)
-    desc = jnp.where(matched[:, None], new_patches, patches)
+    refresh = matched & (best_ncc < refresh_below)
+    desc = jnp.where(refresh[:, None], new_patches, patches)
 
     dist = jnp.round((1.0 - best_ncc) * 1000.0).astype(jnp.int32)
     return Matches(z=z, matched=matched, desc=desc,
