@@ -185,6 +185,10 @@ class SlamConfig:
     matcher: str = "descriptor"
     ncc_search_radius: int = 10      # candidate-center half-window (px)
     ncc_min_corr: float = 0.8        # acceptance threshold on NCC
+    # Quadratic subpixel refinement of matched measurements on the raw
+    # corner-score map (the reference feeds integer keypoint positions to
+    # the filter; set False for that behavior).
+    subpixel_matches: bool = True
 
     # Pad the state vector / covariance to a multiple of this: 13 + 6F is
     # always odd, so without padding P can neither tile the MXU well nor be

@@ -165,6 +165,10 @@ class SlamRuntime:
                 kp_xy, kps.valid, kp_desc, self.gate,
                 ekf.matching_comp_coef_second_best_vs_first,
                 distance_fn=self.frontend.distance)
+            if cfg.subpixel_matches:
+                z_sub = fast.subpixel_refine(
+                    aux["score_raw"].astype(self.dtype), m.z, m.matched)
+                m = m._replace(z=z_sub)
 
         # [5] 1-point RANSAC
         res = ransac_mod.ransac(

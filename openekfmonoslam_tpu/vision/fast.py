@@ -94,6 +94,37 @@ def non_max_suppress(score: jnp.ndarray, radius: int = 2) -> jnp.ndarray:
     return jnp.where((score >= pooled) & (score > 0), score, 0.0)
 
 
+def subpixel_refine(score_raw: jnp.ndarray, xy: jnp.ndarray,
+                    valid: jnp.ndarray) -> jnp.ndarray:
+    """Quadratic subpixel refinement of keypoint positions.
+
+    ``score_raw`` is the *pre-NMS* corner score map (NMS zeroes the
+    neighbors the parabola needs); ``xy`` is (K, 2) pixel (x, y).  Fits
+    1-D parabolas through the 3-point neighborhoods and shifts each
+    position by the (clipped to +-0.5) peak offset.  Measurements handed
+    to the EKF stop being quantized to the pixel grid, which directly
+    reduces lateral drift.
+    """
+    h, w = score_raw.shape
+    ix = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 1, w - 2)
+    iy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 1, h - 2)
+
+    def at(dy, dx):
+        return score_raw[iy + dy, ix + dx]
+
+    c0 = at(0, 0)
+
+    def para(m, p):
+        denom = m - 2.0 * c0 + p
+        off = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (m - p) / denom, 0.0)
+        return jnp.clip(off, -0.5, 0.5)
+
+    dx = para(at(0, -1), at(0, 1))
+    dy = para(at(-1, 0), at(1, 0))
+    shift = jnp.stack([dx, dy], axis=-1).astype(xy.dtype)
+    return xy + shift * valid[:, None].astype(xy.dtype)
+
+
 @partial(jax.jit, static_argnames=("max_keypoints", "nonmax_radius"))
 def detect_keypoints(score_nms: jnp.ndarray, pixel_mask: jnp.ndarray,
                      max_keypoints: int,

@@ -94,6 +94,7 @@ class Frontend:
         with jax.default_matmul_precision("default"):
             aux: dict = {}
             score = self._score_fn(gray)
+            aux["score_raw"] = score     # pre-NMS map for subpixel fits
             aux["score_nms"] = fast.non_max_suppress(
                 score, cfg.detector.nonmax_radius)
             smoothed = brief.smooth(gray, cfg.descriptor.blur_sigma)
