@@ -137,9 +137,14 @@ def main(argv=None):
         summary = summarize(records)
         print(summary)
         if args.output:
+            from openekfmonoslam_tpu.eval.result_reader import (
+                write_output_yml,
+            )
             os.makedirs(args.output, exist_ok=True)
             np.save(os.path.join(args.output, "x_cam.npy"),
                     np.asarray(records.x_cam))
+            write_output_yml(records,
+                             os.path.join(args.output, "output.yml"))
             emit_matlab_report(records, args.output)
         return
 

@@ -53,6 +53,51 @@ def write_scale_factor(path: str, name: str, factor: float) -> None:
         f.write(f"function [x] = {name}()\nx = [{factor:.17g}];\nend\n")
 
 
+def records_to_dicts(records) -> list:
+    """Stacked StepRecord pytree (scan runner output) -> per-frame dicts
+    in the engine's record format."""
+    x = np.asarray(records.x_cam, np.float64)
+    tm = np.asarray(records.total_matches)
+    li = np.asarray(records.li_inliers)
+    hi = np.asarray(records.hi_inliers)
+    na = np.asarray(records.n_active)
+    out = []
+    for i in range(len(x)):
+        out.append({
+            "frame": i + 1,
+            "position": x[i, 0:3].tolist(),
+            "orientation": x[i, 3:7].tolist(),
+            "linear_velocity": x[i, 7:10].tolist(),
+            "angular_velocity": x[i, 10:13].tolist(),
+            "total_matches": int(tm[i]),
+            "li_inliers": int(li[i]),
+            "hi_inliers": int(hi[i]),
+            "n_active": int(na[i]),
+            "wall_time_s": 0.0,
+        })
+    return out
+
+
+def write_output_yml(records, path: str) -> str:
+    """output.yml dump (EKF.cpp:614-629 layout) from record dicts or a
+    stacked StepRecord pytree."""
+    if not isinstance(records, list):
+        records = records_to_dicts(records)
+    with open(path, "w") as f:
+        f.write("%YAML:1.0\n")
+        for r in records:
+            f.write(f'"Frame {r["frame"]}":\n')
+            f.write(f"  totalMatches: {r['total_matches']}\n")
+            f.write(f"  liInliers: {r['li_inliers']}\n")
+            f.write(f"  hiInliers: {r['hi_inliers']}\n")
+            f.write("  StateEstimation:\n")
+            f.write(f"    position: {r['position']}\n")
+            f.write(f"    orientation: {r['orientation']}\n")
+            f.write(f"    linearVelocity: {r['linear_velocity']}\n")
+            f.write(f"    angularVelocity: {r['angular_velocity']}\n")
+    return path
+
+
 def read_output_yml(path: str) -> list:
     """Parse an output.yml (ours or reference-shaped) back into records.
 
