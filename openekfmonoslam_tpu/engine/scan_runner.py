@@ -37,6 +37,24 @@ def scan_frames(runtime: SlamRuntime, state: SlamState,
     return jax.lax.scan(body, state, frames)
 
 
+def scan_frames_masked(runtime: SlamRuntime, state: SlamState,
+                       frames: jnp.ndarray, real: jnp.ndarray
+                       ) -> tuple[SlamState, StepRecord]:
+    """scan_frames with a per-frame ``real`` (T,) bool: padded frames
+    (real=False) run the step but discard its carry, so the final state is
+    exactly the state after the last real frame.  Keeps one compiled shape
+    for padded tail chunks."""
+
+    def body(st, inp):
+        frame, is_real = inp
+        st2, rec = runtime.step(st, frame)
+        st_out = jax.tree.map(
+            lambda a, b: jnp.where(is_real, a, b), st2, st)
+        return st_out, rec
+
+    return jax.lax.scan(body, state, (frames, real))
+
+
 def run_sequence_on_device(runtime: SlamRuntime, frames: np.ndarray,
                            chunk: int = 0):
     """init on frame 0, scan the rest.  ``chunk`` > 0 scans in chunks of
@@ -46,7 +64,7 @@ def run_sequence_on_device(runtime: SlamRuntime, frames: np.ndarray,
     Returns (final_state, records_dict_of_stacked_numpy).
     """
     init_fn = jax.jit(runtime.init_step)
-    scan_fn = jax.jit(partial(scan_frames, runtime))
+    scan_fn = jax.jit(partial(scan_frames_masked, runtime))
 
     state = runtime.make_initial_state()
     state = init_fn(state, jnp.asarray(frames[0]))
@@ -57,18 +75,19 @@ def run_sequence_on_device(runtime: SlamRuntime, frames: np.ndarray,
     rec_parts = []
     for i in range(0, len(rest), chunk):
         part = rest[i:i + chunk]
+        real = np.ones((chunk,), dtype=bool)
         if len(part) < chunk:
-            # pad to the compiled chunk length; drop padded records after
+            # pad to the compiled chunk length; padded steps discard their
+            # carry (real=False) so the final state is exact, and their
+            # records are dropped below
+            real[len(part):] = False
             pad = np.repeat(part[-1:], chunk - len(part), axis=0)
-            state_new, recs = scan_fn(state, jnp.asarray(
-                np.concatenate([part, pad])))
-            recs = jax.tree.map(lambda a: np.asarray(a)[:len(part)], recs)
-            # state after padding is wrong; rerun tail precisely only if the
-            # caller needs the exact final state -- records are exact.
-            state = state_new
+            n_real = len(part)
+            part = np.concatenate([part, pad])
         else:
-            state, recs = scan_fn(state, jnp.asarray(part))
-            recs = jax.tree.map(np.asarray, recs)
+            n_real = chunk
+        state, recs = scan_fn(state, jnp.asarray(part), jnp.asarray(real))
+        recs = jax.tree.map(lambda a: np.asarray(a)[:n_real], recs)
         rec_parts.append(recs)
 
     records = jax.tree.map(lambda *xs: np.concatenate(xs), *rec_parts)

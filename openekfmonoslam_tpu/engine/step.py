@@ -175,7 +175,7 @@ class SlamRuntime:
             state, pred, m.z, m.matched, cam,
             ekf.ransac_threshold_predict_distance,
             ekf.ransac_all_inliers_probability, pixel_error,
-            cfg.max_hypotheses)
+            cfg.max_hypotheses, cfg.ransac_parity_visit)
 
         # [6] low-innovation joint update
         state = upd_mod.update(state, pred, m.z, res.inliers, pixel_error)

@@ -26,20 +26,51 @@ from openekfmonoslam_tpu.serving import protocol as pr
 
 
 class SlamServer:
-    def __init__(self, config_path: str, **engine_kwargs):
+    def __init__(self, config_path: str, allow_config_dir: str = "",
+                 **engine_kwargs):
         self.config_path = config_path
+        # clients may only select configs inside this directory; empty =
+        # client-supplied paths rejected (always use --config)
+        self.allow_config_dir = (os.path.realpath(allow_config_dir)
+                                 if allow_config_dir else "")
         self.engine_kwargs = engine_kwargs
         self.sessions: dict[int, object] = {}
         self._next_id = 1
         self._lock = threading.Lock()
         self._runtime_cache: dict[tuple, object] = {}
 
+    def _resolve_config(self, cfg_path: str) -> str:
+        """Whitelist client-supplied config paths (OP_CREATE payload is
+        untrusted: without this an unauthenticated client could make the
+        server parse any file on disk)."""
+        if not cfg_path:
+            return self.config_path
+        if not self.allow_config_dir:
+            raise PermissionError(
+                "client config paths disabled (run with --allow-config-dir)")
+        real = os.path.realpath(cfg_path)
+        if not real.startswith(self.allow_config_dir + os.sep):
+            raise PermissionError(
+                f"config path outside allowed dir: {cfg_path}")
+        return real
+
     # -- session ops -----------------------------------------------------
     def create(self, payload: bytes) -> bytes:
         from openekfmonoslam_tpu.engine.engine import SlamEngine
+        # payload: u16 h | u16 w | config path bytes (protocol.py).  The
+        # h/w hint, when nonzero, must agree with the config's calibration.
+        h = w = 0
+        if len(payload) >= 4:
+            h, w = struct.unpack("<HH", payload[:4])
         cfg_path = payload[4:].decode() if len(payload) > 4 else ""
-        engine = SlamEngine(cfg_path or self.config_path,
+        engine = SlamEngine(self._resolve_config(cfg_path),
                             **self.engine_kwargs)
+        cam = engine.config.camera
+        if (h or w) and (h != cam.pixels_y or w != cam.pixels_x):
+            engine.close()
+            raise ValueError(
+                f"frame hint {h}x{w} != calibration "
+                f"{cam.pixels_y}x{cam.pixels_x}")
         with self._lock:
             sid = self._next_id
             self._next_id += 1
@@ -156,6 +187,9 @@ def main(argv=None):
                     help="enable the pose-graph layer in every session")
     ap.add_argument("--relocalize-after", type=int, default=0,
                     help="auto map-reset after N consecutive lost frames")
+    ap.add_argument("--allow-config-dir", default="",
+                    help="directory clients may select configs from "
+                         "(default: client config paths rejected)")
     args = ap.parse_args(argv)
     kwargs = {}
     if args.max_features:
@@ -169,7 +203,8 @@ def main(argv=None):
         kwargs["keyframe_every"] = args.keyframe_every
     if args.relocalize_after:
         kwargs["relocalize_after"] = args.relocalize_after
-    server = SlamServer(args.config, **kwargs)
+    server = SlamServer(args.config,
+                        allow_config_dir=args.allow_config_dir, **kwargs)
     print(f"serving on {args.socket}")
     server.serve(args.socket)
 

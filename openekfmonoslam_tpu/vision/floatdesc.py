@@ -45,7 +45,7 @@ def _patch_offsets(radius: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
                     dys.append(dy)
                     dxs.append(dx)
                     ws.append(np.exp(-0.5 * (dy * dy + dx * dx)
-                                     / (sigma * sigma * radius)))
+                                     / (sigma * sigma)))
     return (np.asarray(dys, np.int32), np.asarray(dxs, np.int32),
             np.asarray(ws, np.float32))
 

@@ -55,9 +55,13 @@ def ellipse_union_mask(shape: tuple, centers: jnp.ndarray,
     This mask only *routes the detection budget* -- the exact per-keypoint
     Mahalanobis gate is re-applied in match_predictions -- so it is
     evaluated on a ``block``-downsampled grid (the full (F, H, W) quadratic
-    form is ~120 MB of HBM traffic per frame for 96 slots) and dilated by
-    one block to stay a superset of the exact region.  ``block=1`` gives
-    the exact pixel mask.
+    form is ~120 MB of HBM traffic per frame for 96 slots).  A block is
+    marked when its *center* passes the gate inflated by the worst-case
+    center-to-pixel Mahalanobis slack: for any pixel p in a block with
+    center c, d_M(p) <= d_M(c) + ||p - c|| / sqrt(lambda_min(S)), so
+    testing sqrt(md(c)) <= sqrt(gate) + slack guarantees the block mask is
+    a superset of the exact pixel region for every ellipse size (including
+    gates smaller than one block).  ``block=1`` gives the exact pixel mask.
     """
     h, w = shape
     Sinv = _inv_2x2(S)                                  # (F, 2, 2)
@@ -72,12 +76,19 @@ def ellipse_union_mask(shape: tuple, centers: jnp.ndarray,
     b = Sinv[:, 0, 1][:, None, None]
     c = Sinv[:, 1, 1][:, None, None]
     md = a * dx * dx + 2.0 * b * dx * dy + c * dy * dy      # (F, Hb, Wb)
-    inside = jnp.any((md <= gate) & visible[:, None, None], axis=0)
     if block == 1:
-        return inside
-    # dilate one block so sub-block offsets can't exclude true members
-    inside = jax.lax.reduce_window(inside, False, jax.lax.bitwise_or,
-                                   (3, 3), (1, 1), "SAME")
+        return jnp.any((md <= gate) & visible[:, None, None], axis=0)
+    # lambda_min of each 2x2 SPD S (closed form): worst-case Mahalanobis
+    # length of an in-block offset is ||offset|| / sqrt(lambda_min)
+    tr2 = 0.5 * (S[:, 0, 0] + S[:, 1, 1])
+    disc = jnp.sqrt(jnp.maximum(
+        tr2 * tr2 - (S[:, 0, 0] * S[:, 1, 1] - S[:, 0, 1] * S[:, 1, 0]),
+        0.0))
+    lam_min = jnp.maximum(tr2 - disc, 1e-12)                # (F,)
+    max_off = jnp.sqrt(2.0) * (block - 1) * 0.5
+    thresh = jnp.sqrt(jnp.asarray(gate, S.dtype)) + max_off / jnp.sqrt(lam_min)
+    ok = jnp.sqrt(jnp.maximum(md, 0.0)) <= thresh[:, None, None]
+    inside = jnp.any(ok & visible[:, None, None], axis=0)
     full = jnp.repeat(jnp.repeat(inside, block, axis=0), block, axis=1)
     return full[:h, :w]
 

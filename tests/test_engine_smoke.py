@@ -5,6 +5,7 @@ uniformly shifting image."""
 
 import dataclasses
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -89,3 +90,58 @@ def test_steps_track_translation(small_cfg, rng):
     P13 = np.asarray(records[-1].P_cam)
     np.testing.assert_allclose(P13, P13.T, atol=1e-9)
     assert np.linalg.eigvalsh(P13).min() > -1e-9
+
+
+def test_live_step_passes_ransac_parity_flag(small_cfg, rng, monkeypatch):
+    """ADVICE round 1: the live step() must forward cfg.ransac_parity_visit
+    to ransac() (previously only step_injected did)."""
+    import dataclasses as dc
+
+    from openekfmonoslam_tpu.engine import step as step_mod
+    from openekfmonoslam_tpu.filter import ransac as ransac_mod
+
+    seen = []
+    real_ransac = ransac_mod.ransac
+
+    def spy(*args, **kwargs):
+        # parity flag is the 10th positional arg (or keyword)
+        flag = kwargs.get("parity_visit", args[9] if len(args) > 9 else False)
+        seen.append(bool(flag))
+        return real_ransac(*args, **kwargs)
+
+    monkeypatch.setattr(step_mod.ransac_mod, "ransac", spy)
+
+    cfg = dc.replace(small_cfg, ransac_parity_visit=True)
+    rt = SlamRuntime(cfg)
+    still = make_texture(rng, 240, 400)
+    frames = list(SlidingWindowSource(still, (120, 160), step_xy=(2, 0),
+                                      n_frames=2))
+    state = rt.make_initial_state()
+    state = rt.init_step(state, jnp.asarray(frames[0]))
+    rt.step(state, jnp.asarray(frames[1]))
+    assert seen == [True], seen
+
+
+def test_scan_tail_state_exact(small_cfg, rng):
+    """Chunked scan with a partial final chunk must return the same final
+    state as the unchunked scan (the padded tail previously corrupted the
+    carried state, VERDICT round 1 weak #3)."""
+    from openekfmonoslam_tpu.engine.scan_runner import run_sequence_on_device
+
+    rt = SlamRuntime(small_cfg)
+    still = make_texture(rng, 240, 400)
+    frames = np.stack(list(SlidingWindowSource(
+        still, (120, 160), step_xy=(2, 0), n_frames=8)))
+
+    state_full, recs_full = run_sequence_on_device(rt, frames, chunk=0)
+    state_chunk, recs_chunk = run_sequence_on_device(rt, frames, chunk=3)
+
+    # 7 post-init frames in chunks of 3 -> final chunk has 1 real frame
+    np.testing.assert_allclose(np.asarray(state_chunk.x),
+                               np.asarray(state_full.x), rtol=0, atol=0)
+    np.testing.assert_allclose(np.asarray(state_chunk.P),
+                               np.asarray(state_full.P), rtol=0, atol=0)
+    assert int(state_chunk.frame) == int(state_full.frame) == 7
+    for a, b in zip(jax.tree_util.tree_leaves(recs_chunk),
+                    jax.tree_util.tree_leaves(recs_full)):
+        np.testing.assert_array_equal(a, b)

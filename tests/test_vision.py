@@ -146,6 +146,29 @@ class TestMatching:
         # and not the whole image
         assert blocked.sum() < blocked.size * 0.5
 
+    def test_blocked_mask_superset_tiny_and_thin_gates(self, rng):
+        """ADVICE round 1: a converged landmark's gate ellipse can be
+        smaller than one block (or pencil-thin); the blocked mask must
+        still cover every exact-member pixel."""
+        cases = [
+            [[0.3, 0.0], [0.0, 0.2]],       # sub-pixel sigma: tiny gate
+            [[1.2, 0.0], [0.0, 0.9]],       # semi-axes ~ 2.7 x 2.3 px
+            [[16.0, 0.0], [0.0, 0.04]],     # thin: 10 x 0.5 px
+            [[9.0, 5.0], [5.0, 4.0]],       # correlated/tilted
+        ]
+        for Sv in cases:
+            for center in ([33.1, 17.7], [16.0, 16.0], [34.9, 18.9]):
+                S = jnp.asarray([Sv])
+                centers = jnp.asarray([center])
+                exact = np.asarray(matching.ellipse_union_mask(
+                    (40, 64), centers, S, jnp.asarray([True]), gate=5.9915,
+                    block=1))
+                blocked = np.asarray(matching.ellipse_union_mask(
+                    (40, 64), centers, S, jnp.asarray([True]), gate=5.9915,
+                    block=4))
+                assert exact.any(), (Sv, center)
+                assert (blocked | ~exact).all(), (Sv, center)
+
 
 class TestZoneBalance:
     def test_spreads_across_zones(self, rng):
