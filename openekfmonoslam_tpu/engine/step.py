@@ -54,6 +54,11 @@ class StepRecord(NamedTuple):
     z: jnp.ndarray              # (F, 2) matched pixels
     matched: jnp.ndarray        # (F,) bool
     inliers: jnp.ndarray        # (F,) bool (low + high innovation)
+    # new-feature additions this frame (the injection log for replay /
+    # oracle parity): candidate pixels, which were added, and into which slot
+    new_uv: jnp.ndarray         # (C, 2)
+    new_ok: jnp.ndarray         # (C,) bool: actually added
+    new_slot: jnp.ndarray       # (C,) int32 slot id (F = dropped)
 
 
 class SlamRuntime:
@@ -93,10 +98,17 @@ class SlamRuntime:
         # true f32 accumulation or P loses positive-definiteness within ~50
         # frames.  FLOPs here are tiny, so run the whole step at highest.
         with jax.default_matmul_precision("highest"):
+            return self._init_step_impl(state, gray)[0]
+
+    def init_step_recorded(self, state: SlamState, gray: jnp.ndarray
+                           ) -> tuple[SlamState, jnp.ndarray, jnp.ndarray,
+                                      jnp.ndarray]:
+        """init_step returning (state, uv, ok, slot) of the features added
+        -- the bootstrap entry of the replay/oracle injection log."""
+        with jax.default_matmul_precision("highest"):
             return self._init_step_impl(state, gray)
 
-    def _init_step_impl(self, state: SlamState, gray: jnp.ndarray
-                        ) -> SlamState:
+    def _init_step_impl(self, state: SlamState, gray: jnp.ndarray):
         cfg = self.config
         aux = self.frontend.precompute(gray)
         kps = fast.detect_keypoints(aux["score_nms"],
@@ -114,10 +126,11 @@ class SlamRuntime:
             max_new=cfg.max_features)
 
         desc = self.frontend.describe(aux, kps.yx[picked.kp_index])
+        slots, ok = feat_mod.assign_slots(state.active, picked.valid)
         state = feat_mod.add_features(
             state, self.camera, cfg,
             picked.uv.astype(self.dtype), desc, picked.valid)
-        return state
+        return state, picked.uv.astype(self.dtype), ok, slots
 
     # ------------------------------------------------------------------
     def step(self, state: SlamState, gray: jnp.ndarray
@@ -126,116 +139,160 @@ class SlamRuntime:
         with jax.default_matmul_precision("highest"):
             return self._step_impl(state, gray)
 
+    # -- the seven reference phases as separable jittable functions --
+    # (the per-frame timing taxonomy of EKF.cpp:255-618; the fused default
+    # path below calls them back to back inside one traced program, the
+    # engine's phase-timing mode jits each one separately)
+
+    def phase_predict(self, state: SlamState):
+        """[1] predict + measurement prediction (the reference's
+        'Prediction' bracket covers both, EKF.cpp:273-292)."""
+        with jax.default_matmul_precision("highest"):
+            state = state._replace(frame=state.frame + 1)
+            state = pred_mod.predict(state, self.config)
+            pred = meas_mod.predict_measurements(state, self.camera)
+            return state, pred
+
+    def phase_match(self, state: SlamState, pred, gray: jnp.ndarray):
+        """[2] guided matching ('Matching', EKF.cpp:330-345): front-end
+        precompute, gate-region mask, detection, gated 2-NN (or NCC)."""
+        with jax.default_matmul_precision("highest"):
+            cfg = self.config
+            aux = self.frontend.precompute(gray)
+            in_ellipse = matching.ellipse_union_mask(
+                gray.shape, pred.uv, pred.S, pred.visible, self.gate)
+            if cfg.matcher == "ncc":
+                # detection-free active search: correlate each landmark's
+                # stored patch over its gate region (vision/ncc.py)
+                m = ncc.ncc_match(
+                    aux["smoothed"], pred.uv, pred.S, pred.visible,
+                    state.descriptors, self.gate,
+                    cfg.descriptor.patch_radius,
+                    cfg.ncc_search_radius, cfg.ncc_min_corr)
+            else:
+                kps = fast.detect_keypoints(
+                    aux["score_nms"],
+                    in_ellipse & self._border_mask(gray.shape),
+                    cfg.max_keypoints)
+                kp_xy = jnp.stack([kps.yx[:, 1], kps.yx[:, 0]],
+                                  axis=-1).astype(self.dtype)
+                kp_desc = self.frontend.describe(aux, kps.yx)
+                m = matching.match_predictions(
+                    pred.uv, pred.S, pred.visible, state.descriptors,
+                    kp_xy, kps.valid, kp_desc, self.gate,
+                    cfg.ekf.matching_comp_coef_second_best_vs_first,
+                    distance_fn=self.frontend.distance)
+                if cfg.subpixel_matches:
+                    z_sub = fast.subpixel_refine(
+                        aux["score_raw"].astype(self.dtype), m.z, m.matched)
+                    m = m._replace(z=z_sub)
+            return m, aux, in_ellipse
+
+    def phase_ransac(self, state: SlamState, pred, m):
+        """[3] 1-point RANSAC ('Ransac', EKF.cpp:400-417)."""
+        with jax.default_matmul_precision("highest"):
+            cfg = self.config
+            return ransac_mod.ransac(
+                state, pred, m.z, m.matched, self.camera,
+                cfg.ekf.ransac_threshold_predict_distance,
+                cfg.ekf.ransac_all_inliers_probability,
+                cfg.camera.pixel_error_x,
+                cfg.max_hypotheses, cfg.ransac_parity_visit)
+
+    def phase_update_li(self, state: SlamState, pred, m, inliers):
+        """[4] low-innovation joint update ('UpdateLI', EKF.cpp:423-437)."""
+        with jax.default_matmul_precision("highest"):
+            return upd_mod.update(state, pred, m.z, inliers,
+                                  self.config.camera.pixel_error_x)
+
+    def phase_rescue(self, state: SlamState, m, outliers):
+        """[5] re-predict + chi2 outlier rescue ('RescueOutliers',
+        EKF.cpp:443-517)."""
+        with jax.default_matmul_precision("highest"):
+            pred2 = meas_mod.predict_measurements(state, self.camera)
+            rescued = ransac_mod.rescue_outliers(
+                pred2, m.z, outliers, self.config.ekf.ransac_chi2_threshold)
+            return pred2, rescued
+
+    def phase_update_hi(self, state: SlamState, pred2, m, rescued):
+        """[6] high-innovation joint update ('UpdateHI', EKF.cpp:522-540)."""
+        with jax.default_matmul_precision("highest"):
+            return upd_mod.update(state, pred2, m.z, rescued,
+                                  self.config.camera.pixel_error_x)
+
+    def phase_mapman(self, state: SlamState, pred, m, inliers_all, aux,
+                     in_ellipse):
+        """[7] map management ('MapManagement', EKF.cpp:546-612): counters,
+        culls, conversion, new-feature detection + addition.
+
+        Returns (state, new_uv, new_ok, new_slot)."""
+        with jax.default_matmul_precision("highest"):
+            cfg = self.config
+            ekf = cfg.ekf
+            h, w = aux["score_nms"].shape
+
+            state = mapman.update_counters(state, pred.visible, inliers_all,
+                                           m.desc)
+
+            do_mm = jnp.logical_and(
+                ekf.map_management_frequency > 0,
+                state.frame % max(ekf.map_management_frequency, 1) == 0)
+            needed = jnp.int32(ekf.min_matches_per_image) - jnp.sum(
+                inliers_all.astype(jnp.int32))
+
+            # remove low-ratio features (removeBadMapFeatures)
+            bad = mapman.bad_feature_mask(
+                state, ekf.good_feature_matching_percent)
+            state = mapman.remove_features(state, bad & do_mm)
+
+            # remove unseen under pressure (EKF.cpp:582-586)
+            pressure = mapman.map_pressure(
+                state, needed, ekf.always_remove_unseen_map_features,
+                ekf.max_map_features_count, ekf.max_map_size)
+            unseen = state.active & ~pred.visible
+            state = mapman.remove_features(state,
+                                           unseen & pressure & do_mm)
+
+            # convert at most one inverse-depth feature to XYZ
+            state = jax.lax.cond(
+                do_mm,
+                lambda s: mapman.convert_one_to_xyz(
+                    s, ekf.inverse_depth_linearity_index_threshold),
+                lambda s: s,
+                state)
+
+            # detect + add new features away from the frame-start ellipses
+            out_mask = ~in_ellipse & self._border_mask((h, w))
+            kps2 = fast.detect_keypoints(aux["score_nms"], out_mask,
+                                         cfg.max_keypoints)
+            kp2_xy = jnp.stack([kps2.yx[:, 1], kps2.yx[:, 0]],
+                               axis=-1).astype(jnp.float32)
+            picked = detect.select_zone_balanced(
+                kp2_xy, kps2.score, kps2.valid,
+                pred.uv.astype(jnp.float32), pred.visible,
+                jnp.maximum(needed, 0) * do_mm.astype(jnp.int32),
+                jnp.asarray(self.exclusion_radius, jnp.float32),
+                self.zones_in_a_row, w, h,
+                max_new=cfg.max_features)
+            new_desc = self.frontend.describe(aux, kps2.yx[picked.kp_index])
+            add_valid = picked.valid & do_mm & (needed > 0)
+            new_slot, new_ok = feat_mod.assign_slots(state.active, add_valid)
+            state = feat_mod.add_features(
+                state, self.camera, cfg, picked.uv.astype(self.dtype),
+                new_desc, add_valid)
+            return state, picked.uv.astype(self.dtype), new_ok, new_slot
+
     def _step_impl(self, state: SlamState, gray: jnp.ndarray
                    ) -> tuple[SlamState, StepRecord]:
-        cfg = self.config
-        ekf = cfg.ekf
-        cam = self.camera
-        pixel_error = cfg.camera.pixel_error_x
-
-        state = state._replace(frame=state.frame + 1)
-
-        # [1] predict
-        state = pred_mod.predict(state, cfg)
-
-        # [2] measurement prediction for every slot
-        pred = meas_mod.predict_measurements(state, cam)
-
-        # [3]+[4] guided matching
-        aux = self.frontend.precompute(gray)
-        in_ellipse = matching.ellipse_union_mask(
-            gray.shape, pred.uv, pred.S, pred.visible, self.gate)
-        if cfg.matcher == "ncc":
-            # detection-free active search: correlate each landmark's
-            # stored patch over its gate region (vision/ncc.py)
-            m = ncc.ncc_match(
-                aux["smoothed"], pred.uv, pred.S, pred.visible,
-                state.descriptors, self.gate, cfg.descriptor.patch_radius,
-                cfg.ncc_search_radius, cfg.ncc_min_corr)
-        else:
-            # keypoints inside the ellipse union, gated 2-NN descriptors
-            kps = fast.detect_keypoints(
-                aux["score_nms"], in_ellipse & self._border_mask(gray.shape),
-                cfg.max_keypoints)
-            kp_xy = jnp.stack([kps.yx[:, 1], kps.yx[:, 0]],
-                              axis=-1).astype(self.dtype)
-            kp_desc = self.frontend.describe(aux, kps.yx)
-            m = matching.match_predictions(
-                pred.uv, pred.S, pred.visible, state.descriptors,
-                kp_xy, kps.valid, kp_desc, self.gate,
-                ekf.matching_comp_coef_second_best_vs_first,
-                distance_fn=self.frontend.distance)
-            if cfg.subpixel_matches:
-                z_sub = fast.subpixel_refine(
-                    aux["score_raw"].astype(self.dtype), m.z, m.matched)
-                m = m._replace(z=z_sub)
-
-        # [5] 1-point RANSAC
-        res = ransac_mod.ransac(
-            state, pred, m.z, m.matched, cam,
-            ekf.ransac_threshold_predict_distance,
-            ekf.ransac_all_inliers_probability, pixel_error,
-            cfg.max_hypotheses, cfg.ransac_parity_visit)
-
-        # [6] low-innovation joint update
-        state = upd_mod.update(state, pred, m.z, res.inliers, pixel_error)
-
-        # [7] re-predict outliers against the updated state; chi2 rescue
-        pred2 = meas_mod.predict_measurements(state, cam)
-        rescued = ransac_mod.rescue_outliers(
-            pred2, m.z, res.outliers, ekf.ransac_chi2_threshold)
-
-        # [8] high-innovation joint update
-        state = upd_mod.update(state, pred2, m.z, rescued, pixel_error)
-
+        state, pred = self.phase_predict(state)
+        m, aux, in_ellipse = self.phase_match(state, pred, gray)
+        res = self.phase_ransac(state, pred, m)
+        state = self.phase_update_li(state, pred, m, res.inliers)
+        pred2, rescued = self.phase_rescue(state, m, res.outliers)
+        state = self.phase_update_hi(state, pred2, m, rescued)
         inliers_all = res.inliers | rescued
-
-        # [9] map management
-        state = mapman.update_counters(state, pred.visible, inliers_all,
-                                       m.desc)
-
-        do_mm = jnp.logical_and(
-            ekf.map_management_frequency > 0,
-            state.frame % max(ekf.map_management_frequency, 1) == 0)
-        needed = jnp.int32(ekf.min_matches_per_image) - jnp.sum(
-            inliers_all.astype(jnp.int32))
-
-        # remove low-ratio features (removeBadMapFeatures)
-        bad = mapman.bad_feature_mask(state, ekf.good_feature_matching_percent)
-        state = mapman.remove_features(state, bad & do_mm)
-
-        # remove unseen under pressure (EKF.cpp:582-586)
-        pressure = mapman.map_pressure(
-            state, needed, ekf.always_remove_unseen_map_features,
-            ekf.max_map_features_count, ekf.max_map_size)
-        unseen = state.active & ~pred.visible
-        state = mapman.remove_features(state, unseen & pressure & do_mm)
-
-        # convert at most one inverse-depth feature to XYZ
-        state = jax.lax.cond(
-            do_mm,
-            lambda s: mapman.convert_one_to_xyz(
-                s, ekf.inverse_depth_linearity_index_threshold),
-            lambda s: s,
-            state)
-
-        # detect + add new features away from the frame-start ellipses
-        out_mask = ~in_ellipse & self._border_mask(gray.shape)
-        kps2 = fast.detect_keypoints(aux["score_nms"], out_mask,
-                                     cfg.max_keypoints)
-        kp2_xy = jnp.stack([kps2.yx[:, 1], kps2.yx[:, 0]],
-                           axis=-1).astype(jnp.float32)
-        picked = detect.select_zone_balanced(
-            kp2_xy, kps2.score, kps2.valid,
-            pred.uv.astype(jnp.float32), pred.visible,
-            jnp.maximum(needed, 0) * do_mm.astype(jnp.int32),
-            jnp.asarray(self.exclusion_radius, jnp.float32),
-            self.zones_in_a_row, gray.shape[1], gray.shape[0],
-            max_new=cfg.max_features)
-        new_desc = self.frontend.describe(aux, kps2.yx[picked.kp_index])
-        state = feat_mod.add_features(
-            state, cam, cfg, picked.uv.astype(self.dtype), new_desc,
-            picked.valid & do_mm & (needed > 0))
+        state, new_uv, new_ok, new_slot = self.phase_mapman(
+            state, pred, m, inliers_all, aux, in_ellipse)
 
         record = StepRecord(
             x_cam=state.x[:13],
@@ -251,8 +308,34 @@ class SlamRuntime:
             z=m.z,
             matched=m.matched,
             inliers=inliers_all,
+            new_uv=new_uv,
+            new_ok=new_ok,
+            new_slot=new_slot,
         )
         return state, record
+
+    def make_record(self, state: SlamState, pred, m, res, rescued,
+                    new_uv, new_ok, new_slot) -> StepRecord:
+        """Assemble a StepRecord from phase outputs (phase-timing mode)."""
+        inliers_all = res.inliers | rescued
+        return StepRecord(
+            x_cam=state.x[:13],
+            P_cam=state.P[:13, :13],
+            total_matches=jnp.sum(m.matched.astype(jnp.int32)),
+            li_inliers=jnp.sum(res.inliers.astype(jnp.int32)),
+            hi_inliers=jnp.sum(rescued.astype(jnp.int32)),
+            n_active=jnp.sum(state.active.astype(jnp.int32)),
+            n_visible=jnp.sum(pred.visible.astype(jnp.int32)),
+            pred_uv=pred.uv,
+            pred_S=pred.S,
+            visible=pred.visible,
+            z=m.z,
+            matched=m.matched,
+            inliers=inliers_all,
+            new_uv=new_uv,
+            new_ok=new_ok,
+            new_slot=new_slot,
+        )
 
     # ------------------------------------------------------------------
     def step_injected(self, state: SlamState, z: jnp.ndarray,
@@ -294,18 +377,54 @@ class SlamRuntime:
             state = upd_mod.update(state, pred2, z, rescued, pixel_error)
             inliers_all = res.inliers | rescued
 
+            # map management mirrors the live pipeline (EKF.cpp:567-612):
+            # counters every frame; cull/convert under the frequency gate
             state = mapman.update_counters(state, pred.visible, inliers_all,
                                            state.descriptors)
+            do_mm = jnp.logical_and(
+                ekf.map_management_frequency > 0,
+                state.frame % max(ekf.map_management_frequency, 1) == 0)
+            needed = jnp.int32(ekf.min_matches_per_image) - jnp.sum(
+                inliers_all.astype(jnp.int32))
+
             bad = mapman.bad_feature_mask(
                 state, ekf.good_feature_matching_percent)
-            state = mapman.remove_features(state, bad)
-            state = mapman.convert_one_to_xyz(
-                state, ekf.inverse_depth_linearity_index_threshold)
+            state = mapman.remove_features(state, bad & do_mm)
 
+            pressure = mapman.map_pressure(
+                state, needed, ekf.always_remove_unseen_map_features,
+                ekf.max_map_features_count, ekf.max_map_size)
+            unseen = state.active & ~pred.visible
+            state = mapman.remove_features(state, unseen & pressure & do_mm)
+
+            state = jax.lax.cond(
+                do_mm,
+                lambda s: mapman.convert_one_to_xyz(
+                    s, ekf.inverse_depth_linearity_index_threshold),
+                lambda s: s,
+                state)
+
+            C = cfg.max_features
             if new_uv is not None:
+                if new_desc is None:
+                    new_desc = jnp.zeros(
+                        (new_uv.shape[0],) + state.descriptors.shape[1:],
+                        state.descriptors.dtype)
+                new_slot, new_ok = feat_mod.assign_slots(state.active,
+                                                         new_valid)
                 state = feat_mod.add_features(
                     state, cam, cfg, new_uv.astype(self.dtype), new_desc,
                     new_valid)
+                rec_uv = jnp.zeros((C, 2), self.dtype).at[
+                    :new_uv.shape[0]].set(new_uv.astype(self.dtype))
+                rec_ok = jnp.zeros((C,), bool).at[:new_ok.shape[0]].set(
+                    new_ok)
+                rec_slot = jnp.full((C,), state.n_features, jnp.int32).at[
+                    :new_slot.shape[0]].set(new_slot)
+            else:
+                rec_uv = jnp.zeros((C, 2), self.dtype)
+                rec_ok = jnp.zeros((C,), bool)
+                rec_slot = jnp.full((C,), state.n_features, jnp.int32)
 
             record = StepRecord(
                 x_cam=state.x[:13],
@@ -321,6 +440,9 @@ class SlamRuntime:
                 z=z,
                 matched=matched,
                 inliers=inliers_all,
+                new_uv=rec_uv,
+                new_ok=rec_ok,
+                new_slot=rec_slot,
             )
             return state, record
 

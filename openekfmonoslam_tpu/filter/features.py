@@ -46,6 +46,22 @@ def init_feature(camera: Camera, cam7: jnp.ndarray, uv_rho: jnp.ndarray
     return jnp.concatenate([r, jnp.stack([theta, phi, uv_rho[2]])])
 
 
+def assign_slots(active: jnp.ndarray, cand_valid: jnp.ndarray
+                 ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Deterministic slot assignment: valid candidates fill the free slots
+    in increasing slot order.  Returns (slots, ok) where ``ok`` marks the
+    candidates that actually fit; dropped/invalid candidates get the
+    out-of-range slot F (so scatters discard them)."""
+    Fslots = active.shape[0]
+    free_slots = jnp.nonzero(~active, size=Fslots, fill_value=Fslots)[0]
+    n_free = jnp.sum((~active).astype(jnp.int32))
+    ranks = jnp.cumsum(cand_valid.astype(jnp.int32)) - 1
+    ok = cand_valid & (ranks < n_free)
+    slots = jnp.where(ok, free_slots[jnp.clip(ranks, 0, Fslots - 1)],
+                      Fslots).astype(jnp.int32)
+    return slots, ok
+
+
 def add_features(state: SlamState, camera: Camera, config: SlamConfig,
                  cand_uv: jnp.ndarray, cand_desc: jnp.ndarray,
                  cand_valid: jnp.ndarray) -> SlamState:
@@ -64,15 +80,10 @@ def add_features(state: SlamState, camera: Camera, config: SlamConfig,
     C = cand_uv.shape[0]
     N = state.P.shape[0]
 
-    free_slots = jnp.nonzero(~state.active, size=Fslots, fill_value=Fslots)[0]
-    n_free = jnp.sum((~state.active).astype(jnp.int32))
-    ranks = jnp.cumsum(cand_valid.astype(jnp.int32)) - 1
-    ok = cand_valid & (ranks < n_free)
     # Invalid candidates get an out-of-range slot so every scatter below
     # drops their updates (JAX default scatter mode discards OOB indices);
     # this also prevents index collisions with valid candidates.
-    slots = jnp.where(ok, free_slots[jnp.clip(ranks, 0, Fslots - 1)],
-                      Fslots).astype(jnp.int32)
+    slots, ok = assign_slots(state.active, cand_valid)
 
     ekf = config.ekf
     camcal = config.camera

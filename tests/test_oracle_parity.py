@@ -1,0 +1,134 @@
+"""Measured parity against the reference filter math (VERDICT round 1 #1).
+
+The reference binary is unbuildable here (OpenCV 2.4-era API), so parity is
+measured against eval/oracle.py -- a bug-compatible float64 NumPy
+reimplementation of the reference's filter (dt=1 predict, hand-chain
+Jacobians incl. the jacobian[1]/[2] slip and the unrotated-rho column,
+DELTA deadbands, sequential adaptive RANSAC, explicit S.inv()).  One
+injection log is recorded from a live TPU-engine run on real s3 frames and
+replayed through:
+
+  A. SlamRuntime.step_injected        (the TPU engine minus vision)
+  B. oracle with quirks OFF            (correct math, slot-ordered)
+  C. oracle with quirks ON             (= the reference implementation)
+
+Test 1 asserts A == B tightly (independent implementations of the same
+math agree) and test 2 asserts the measured A-vs-C ATE bound -- the
+BASELINE.md "ATE vs reference" row.  Test 3 quantifies what each quirk
+changes (the jacobian-slip effect VERDICT asks to state).
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+from openekfmonoslam_tpu.config import auto_max_features, load_config
+from openekfmonoslam_tpu.engine.step import SlamRuntime
+from openekfmonoslam_tpu.eval.oracle import (OracleQuirks, ReferenceOracle,
+                                             replay_log)
+from openekfmonoslam_tpu.eval.replay import (record_live_log,
+                                             replay_through_engine)
+from openekfmonoslam_tpu.eval.trajectory import ate_rmse
+
+FRAMES_DIR = "/root/reference/experiments/s3/costado_recto1"
+CONFIG = "/root/reference/experiments/s3/config.yml"
+N_FRAMES = 121   # 1 init + 120 filter steps (VERDICT asks >= 100)
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(FRAMES_DIR), reason="bundled s3 dataset not present")
+
+
+@pytest.fixture(scope="module")
+def runtime():
+    cfg = load_config(CONFIG)
+    cfg = dataclasses.replace(
+        cfg,
+        max_features=auto_max_features(cfg.ekf),
+        dtype="float64",
+        ransac_parity_visit=True,   # the reference's sequential visit bound
+        max_hypotheses=1000,        # 1PointRansac.cpp:116
+    )
+    return SlamRuntime(cfg)
+
+
+@pytest.fixture(scope="module")
+def live_log(runtime):
+    from openekfmonoslam_tpu.io.sources import FileSequenceSource
+    frames = np.stack(list(FileSequenceSource(
+        FRAMES_DIR, begin=1, end=N_FRAMES)))
+    return record_live_log(runtime, frames, chunk=40)
+
+
+@pytest.fixture(scope="module")
+def engine_traj(runtime, live_log):
+    return replay_through_engine(runtime, live_log)
+
+
+@pytest.fixture(scope="module")
+def oracle_reference(runtime, live_log):
+    return replay_log(runtime.config, live_log, OracleQuirks())
+
+
+def _traj(oracle: ReferenceOracle) -> np.ndarray:
+    return np.stack(oracle.trajectory)
+
+
+def test_engine_matches_correct_math_oracle(runtime, live_log, engine_traj):
+    """Cross-implementation check: the TPU engine's filter (jacfwd
+    Jacobians, masked slots, batched RANSAC, Cholesky solves) and an
+    independent dynamic-shape NumPy filter with the same (correct) math
+    produce the same trajectory on 120 real frames."""
+    orc = replay_log(runtime.config, live_log, OracleQuirks.none())
+    traj_o = _traj(orc)
+    assert orc.slot_collisions == 0
+    dev = np.linalg.norm(engine_traj[:, 0:3] - traj_o[:, 0:3], axis=1)
+    ate = ate_rmse(engine_traj[:, 0:3], traj_o[:, 0:3], align=False)
+    path = np.sum(np.linalg.norm(np.diff(traj_o[:, 0:3], axis=0), axis=1))
+    print(f"engine-vs-correct-oracle: ATE {ate:.3e}, max dev {dev.max():.3e}"
+          f" over path {path:.3f}")
+    # same math, independent implementations: agreement far below the
+    # measurement scale (pixel error 1.0 -> per-frame pose noise ~1e-3)
+    assert ate < 1e-5 * max(path, 1e-3) + 1e-7, (ate, path)
+
+
+def test_measured_ate_vs_reference_oracle(runtime, live_log, engine_traj,
+                                          oracle_reference):
+    """THE parity number: ATE between the TPU engine and the reference
+    implementation (bug-compatible oracle) on 120 real s3 frames, identical
+    measurement stream.  Bound recorded in BASELINE.md."""
+    traj_c = _traj(oracle_reference)
+    path = np.sum(np.linalg.norm(np.diff(traj_c[:, 0:3], axis=0), axis=1))
+    ate = ate_rmse(engine_traj[:, 0:3], traj_c[:, 0:3], align=False)
+    dev = np.linalg.norm(engine_traj[:, 0:3] - traj_c[:, 0:3], axis=1)
+    print(f"engine-vs-REFERENCE oracle: ATE {ate:.3e}, "
+          f"max dev {dev.max():.3e}, path {path:.3f}, "
+          f"collisions {oracle_reference.slot_collisions}")
+    # The quirks (jacobian slip, deadband, hand-chain distortion Jacobian,
+    # visit order) perturb the gains; the measured divergence stays below
+    # 1% of distance travelled on the bundled sequence.
+    assert ate < 0.01 * path, (ate, path)
+
+
+def test_quirk_contributions(runtime, live_log, oracle_reference):
+    """Quantify each quirk's trajectory effect vs the full-quirk oracle
+    (VERDICT: 'a quantified statement of what fixing the jacobian slip
+    changes')."""
+    ref = _traj(oracle_reference)[:, 0:3]
+    path = np.sum(np.linalg.norm(np.diff(ref, axis=0), axis=1))
+    out = {}
+    for name, flag in [("jacobian_slip", "jacobian_slip"),
+                       ("rho_unrotated", "rho_unrotated"),
+                       ("deadband", "deadband")]:
+        q = dataclasses.replace(OracleQuirks(), **{flag: False})
+        traj = _traj(replay_log(runtime.config, live_log, q))[:, 0:3]
+        out[name] = ate_rmse(ref, traj, align=False)
+    print("quirk ATE contributions vs reference oracle "
+          f"(path {path:.3f}): " + ", ".join(
+              f"{k}={v:.3e}" for k, v in out.items()))
+    # deadband at DELTA=1e-12 must be numerically invisible
+    assert out["deadband"] < 1e-6 * path
+    # the slip quirks are real but small perturbations, not blowups
+    assert out["jacobian_slip"] < 0.05 * path
+    assert out["rho_unrotated"] < 0.05 * path
