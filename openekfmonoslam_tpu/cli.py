@@ -80,6 +80,19 @@ def main(argv=None):
                          "FPS: skip frames by wall-clock time "
                          "(FileSequenceOnDemandImageGenerator)")
     ap.add_argument("--progress", type=int, default=30)
+    ap.add_argument("--phase-timing", action="store_true",
+                    help="emit the reference's 7-phase per-frame timings "
+                         "(EKF.cpp:255-618) into records/output.yml; "
+                         "interactive mode brackets each jitted phase, "
+                         "scan mode attributes the per-frame budget by a "
+                         "calibration pass")
+    ap.add_argument("--keyframe-every", type=int, default=0,
+                    help="enable the keyframe pose-graph layer: snapshot "
+                         "a keyframe every N frames; loop closures are "
+                         "detected on relocalization and the optimized "
+                         "trajectory is exported to OUTPUT")
+    ap.add_argument("--relocalize-after", type=int, default=0,
+                    help="auto map-reset after N consecutive lost frames")
     args = ap.parse_args(argv)
 
     import jax
@@ -109,6 +122,7 @@ def main(argv=None):
         import numpy as np
 
         from openekfmonoslam_tpu.engine.scan_runner import (
+            phase_share_calibration,
             run_sequence_on_device,
         )
         from openekfmonoslam_tpu.engine.step import SlamRuntime
@@ -138,18 +152,32 @@ def main(argv=None):
         print(summary)
         if args.output:
             from openekfmonoslam_tpu.eval.result_reader import (
+                records_to_dicts,
                 write_output_yml,
             )
             os.makedirs(args.output, exist_ok=True)
             np.save(os.path.join(args.output, "x_cam.npy"),
                     np.asarray(records.x_cam))
-            write_output_yml(records,
+            shares, frame_us = None, None
+            if args.phase_timing:
+                # calibration: bracket the 7 phases over a few frames and
+                # attribute the measured scan budget by their shares (the
+                # fused scan cannot be bracketed from the host)
+                shares = phase_share_calibration(rt, frames[:9])
+                frame_us = dt / max(len(frames) - 1, 1) * 1e6
+            dicts = records_to_dicts(records, phase_shares=shares,
+                                     frame_time_us=frame_us)
+            write_output_yml(dicts,
                              os.path.join(args.output, "output.yml"))
-            emit_matlab_report(records, args.output)
+            emit_matlab_report(dicts, args.output)
         return
 
     engine = SlamEngine(args.config, output_path=args.output,
-                        render=args.render, **overrides)
+                        render=args.render,
+                        phase_timing=args.phase_timing,
+                        keyframe_every=args.keyframe_every,
+                        relocalize_after=args.relocalize_after,
+                        **overrides)
     ckpt_path = (os.path.join(args.output, "checkpoint.npz")
                  if args.output else "checkpoint.npz")
     if args.resume:
@@ -179,6 +207,20 @@ def main(argv=None):
     print(summarize(engine.records))
     if args.output:
         emit_matlab_report(engine.records, args.output)
+    if (engine.loop_closer is not None and engine.loop_closer.closures
+            and args.output):
+        # export the drift-corrected trajectory alongside the raw one
+        import numpy as np
+
+        from openekfmonoslam_tpu.eval.result_reader import write_points3d
+        corrected = engine.corrected_trajectory()
+        np.save(os.path.join(args.output, "trajectory_corrected.npy"),
+                corrected)
+        write_points3d(
+            os.path.join(args.output, "cameraPositionsCorrected.m"),
+            "cameraPositionsCorrected", corrected)
+        print(f"{len(engine.loop_closer.closures)} loop closure(s); "
+              "corrected trajectory written")
     engine.close()
 
 

@@ -38,6 +38,7 @@ class SlamEngine:
                  output_path: Optional[str] = None, render: bool = False,
                  keyframe_every: int = 0, keyframe_capacity: int = 256,
                  relocalize_after: int = 0, lost_matches_threshold: int = 4,
+                 phase_timing: bool = False,
                  **overrides):
         if isinstance(config, str):
             cfg = load_config(config)
@@ -53,6 +54,23 @@ class SlamEngine:
         self.state = self.runtime.make_initial_state()
         self.records: list[dict] = []
         self.frame_index = 0
+
+        # per-phase runtime instrumentation (the reference's 7-phase
+        # microsecond timing channel, EKF.cpp:255-618): each phase is
+        # jitted separately and bracketed with block_until_ready
+        self.phase_timing = phase_timing
+        if phase_timing:
+            rt = self.runtime
+            self._phase_fns = {
+                "Prediction": jax.jit(rt.phase_predict),
+                "Matching": jax.jit(rt.phase_match),
+                "Ransac": jax.jit(rt.phase_ransac),
+                "UpdateLI": jax.jit(rt.phase_update_li),
+                "RescueOutliers": jax.jit(rt.phase_rescue),
+                "UpdateHI": jax.jit(rt.phase_update_hi),
+                "MapManagement": jax.jit(rt.phase_mapman),
+            }
+            self._record_fn = jax.jit(rt.make_record)
 
         # optional keyframe pose-graph layer (graph/pose_graph.py): snapshot
         # the camera pose every ``keyframe_every`` frames; loop-closure
@@ -70,12 +88,18 @@ class SlamEngine:
         self.keyframe_every = keyframe_every
         self.pose_graph = None
         self._add_kf_fn = None
+        self.loop_closer = None
+        self.keyframe_frames: list[int] = []
         if keyframe_every > 0:
             from openekfmonoslam_tpu.graph import (add_keyframe,
                                                    make_pose_graph)
+            from openekfmonoslam_tpu.graph.loop_closure import LoopCloser
             self.pose_graph = make_pose_graph(max_nodes=keyframe_capacity,
                                               max_edges=4 * keyframe_capacity)
             self._add_kf_fn = jax.jit(add_keyframe)
+            # automatic loop closure: place recognition against stored
+            # keyframe landmarks + PnP (graph/loop_closure.py)
+            self.loop_closer = LoopCloser(self.runtime)
 
         self.output_path = output_path
         self._jsonl = None
@@ -101,30 +125,64 @@ class SlamEngine:
         self.state = self._init_fn(self.state, gray)
         jax.block_until_ready(self.state.x)
 
+    def _step_timed(self, gray) -> tuple:
+        """Run the step as 7 separately-jitted phases, timing each
+        (the EKF.cpp timer brackets).  Returns (record, phase_times_us)."""
+        fns = self._phase_fns
+        times = {}
+
+        def bracket(name, fn, *args):
+            t0 = time.perf_counter()
+            out = fn(*args)
+            jax.block_until_ready(out)
+            times[name] = (time.perf_counter() - t0) * 1e6
+            return out
+
+        state = self.state
+        state, pred = bracket("Prediction", fns["Prediction"], state)
+        m, aux, in_ellipse = bracket("Matching", fns["Matching"],
+                                     state, pred, gray)
+        res = bracket("Ransac", fns["Ransac"], state, pred, m)
+        state = bracket("UpdateLI", fns["UpdateLI"], state, pred, m,
+                        res.inliers)
+        pred2, rescued = bracket("RescueOutliers", fns["RescueOutliers"],
+                                 state, m, res.outliers)
+        state = bracket("UpdateHI", fns["UpdateHI"], state, pred2, m,
+                        rescued)
+        state, new_uv, new_ok, new_slot = bracket(
+            "MapManagement", fns["MapManagement"],
+            state, pred, m, res.inliers | rescued, aux, in_ellipse)
+        self.state = state
+        rec = self._record_fn(state, pred, m, res, rescued,
+                              new_uv, new_ok, new_slot)
+        return rec, times
+
     def step(self, image: np.ndarray) -> dict:
         """EKF::step (EKF.cpp:242-666); returns the per-frame record."""
         t0 = time.perf_counter()
         gray_np = to_gray(np.asarray(image))
         gray = jnp.asarray(gray_np)
-        self.state, rec = self._step_fn(self.state, gray)
+        phase_times = None
+        if self.phase_timing:
+            rec, phase_times = self._step_timed(gray)
+        else:
+            self.state, rec = self._step_fn(self.state, gray)
         jax.block_until_ready(self.state.x)
         dt = time.perf_counter() - t0
 
         self.frame_index += 1
         if (self.pose_graph is not None
                 and self.frame_index % self.keyframe_every == 0):
-            # information from the filter: inverse of the 6x6 pose
-            # covariance (position block + small-angle orientation block)
-            P = np.asarray(rec.P_cam, np.float64)
-            pose_cov = np.zeros((6, 6))
-            pose_cov[:3, :3] = P[0:3, 0:3]
-            pose_cov[3:, 3:] = 4.0 * P[4:7, 4:7]   # dq_vec -> dtheta = 2 dq
-            pose_cov += np.eye(6) * 1e-9
-            info = jnp.asarray(np.linalg.inv(pose_cov), jnp.float32)
-            self.pose_graph = self._add_kf_fn(
-                self.pose_graph, self.state.x[0:3], self.state.x[3:7], info)
+            self._take_keyframe(gray_np)
 
         record = self._record_to_dict(rec, dt)
+        if phase_times is not None:
+            record["phase_times_us"] = phase_times
+        # inverse-depth / XYZ split (State::write's MapFeatures*Count)
+        active = np.asarray(self.state.active)
+        is_xyz = np.asarray(self.state.is_xyz)
+        record["n_xyz"] = int(np.sum(active & is_xyz))
+        record["n_inverse_depth"] = int(np.sum(active & ~is_xyz))
 
         if self.relocalize_after > 0:
             if record["total_matches"] < self.lost_matches_threshold:
@@ -140,6 +198,10 @@ class SlamEngine:
                 self.lost_streak = 0
                 self.relocalizations += 1
                 record["relocalized"] = True
+                if self.pose_graph is not None:
+                    # immediate keyframe: the re-bootstrap scene is the
+                    # place-recognition query for a loop-closure edge
+                    self._take_keyframe(gray_np)
 
         self.records.append(record)
         if self._jsonl:
@@ -162,6 +224,58 @@ class SlamEngine:
                 np.asarray(rec.matched))
             self._sink.write(frame)
         return record
+
+    def _take_keyframe(self, gray_np: np.ndarray) -> None:
+        """Snapshot a keyframe into the pose graph, then attempt automatic
+        loop closure against older keyframes (place recognition + PnP,
+        graph/loop_closure.py)."""
+        # odometry-edge information: the *relative* motion noise over the
+        # keyframe interval (velocity random walk, k^3/2 growth) -- not the
+        # inverse absolute covariance, which shrinks as the filter
+        # converges and would drown loop-closure edges
+        k = float(self.keyframe_every)
+        sig_r = max(self.config.ekf.linear_accel_sd * k ** 1.5, 1e-5)
+        sig_t = max(self.config.ekf.angular_accel_sd * k ** 1.5, 1e-5)
+        info = jnp.asarray(np.diag(
+            [1.0 / sig_r ** 2] * 3 + [1.0 / sig_t ** 2] * 3), jnp.float32)
+        node_index = int(self.pose_graph.n_nodes)
+        self.pose_graph = self._add_kf_fn(
+            self.pose_graph, self.state.x[0:3], self.state.x[3:7], info)
+        self.keyframe_frames.append(self.frame_index)
+
+        kf = self.loop_closer.snapshot(self.state, node_index,
+                                       self.frame_index)
+        closure = self.loop_closer.try_close(gray_np, kf)
+        if closure is not None:
+            from openekfmonoslam_tpu.graph import add_loop_edge
+            self.pose_graph = add_loop_edge(
+                self.pose_graph, closure["i"], closure["j"],
+                jnp.asarray(closure["dr"]), jnp.asarray(closure["dq"]),
+                jnp.asarray(closure["info"], jnp.float32))
+            if self._log:
+                self._log.write(
+                    f"loop closure: keyframe {closure['i']} <- "
+                    f"{closure['j']} (frames {closure['frame_i']} <- "
+                    f"{closure['frame_j']}), {closure['matches']} matches, "
+                    f"rms {closure['rms_px']:.2f}px\n")
+
+    def corrected_trajectory(self, iterations: int = 10) -> np.ndarray:
+        """Optimize the pose graph and return the (T, 3) drift-corrected
+        per-frame camera positions (raw positions transformed by each
+        nearest preceding keyframe's graph correction)."""
+        from openekfmonoslam_tpu.graph.loop_closure import correct_trajectory
+        if self.pose_graph is None:
+            raise RuntimeError("pose graph disabled (keyframe_every=0)")
+        k = int(self.pose_graph.n_nodes)
+        raw_r = np.asarray(self.pose_graph.node_r[:k], np.float64)
+        raw_q = np.asarray(self.pose_graph.node_q[:k], np.float64)
+        self.optimize_pose_graph(iterations)
+        opt_r = np.asarray(self.pose_graph.node_r[:k], np.float64)
+        opt_q = np.asarray(self.pose_graph.node_q[:k], np.float64)
+        rec_r = np.asarray([r["position"] for r in self.records])
+        rec_q = np.asarray([r["orientation"] for r in self.records])
+        return correct_trajectory(rec_r, rec_q, self.keyframe_frames,
+                                  raw_r, raw_q, opt_r, opt_q)
 
     # ------------------------------------------------------------------
     @property
@@ -195,23 +309,13 @@ class SlamEngine:
         }
 
     def write_output_yml(self) -> Optional[str]:
-        """output.yml-compatible dump (EKF.cpp:614-629 layout)."""
+        """Reference-shaped output.yml dump (EKF.cpp:614-629 layout incl.
+        phase timings and the 13x13 covariance corner)."""
         if not self.output_path:
             return None
+        from openekfmonoslam_tpu.eval.result_reader import write_output_yml
         path = os.path.join(self.output_path, "output.yml")
-        with open(path, "w") as f:
-            f.write("%YAML:1.0\n")
-            for r in self.records:
-                f.write(f'"Frame {r["frame"]}":\n')
-                f.write(f"  totalMatches: {r['total_matches']}\n")
-                f.write(f"  liInliers: {r['li_inliers']}\n")
-                f.write(f"  hiInliers: {r['hi_inliers']}\n")
-                f.write("  StateEstimation:\n")
-                f.write(f"    position: {r['position']}\n")
-                f.write(f"    orientation: {r['orientation']}\n")
-                f.write(f"    linearVelocity: {r['linear_velocity']}\n")
-                f.write(f"    angularVelocity: {r['angular_velocity']}\n")
-        return path
+        return write_output_yml(self.records, path)
 
     def save_checkpoint(self, path: str) -> None:
         """Exact-resume checkpoint of the full filter carry."""

@@ -55,6 +55,53 @@ def scan_frames_masked(runtime: SlamRuntime, state: SlamState,
     return jax.lax.scan(body, state, (frames, real))
 
 
+def phase_share_calibration(runtime: SlamRuntime,
+                            frames: np.ndarray) -> np.ndarray:
+    """Measure the 7 reference phases' relative time shares (EKF.cpp's
+    Prediction/Matching/Ransac/UpdateLI/RescueOutliers/UpdateHI/
+    MapManagement taxonomy) by bracketing separately-jitted phase calls
+    over a few frames.  Used to attribute scan-mode per-frame budgets,
+    where the fused program cannot be bracketed from the host."""
+    import time
+
+    fns = [jax.jit(runtime.phase_predict), jax.jit(runtime.phase_match),
+           jax.jit(runtime.phase_ransac), jax.jit(runtime.phase_update_li),
+           jax.jit(runtime.phase_rescue), jax.jit(runtime.phase_update_hi),
+           jax.jit(runtime.phase_mapman)]
+    state = runtime.make_initial_state()
+    state = jax.jit(runtime.init_step)(state, jnp.asarray(frames[0]))
+    totals = np.zeros(7)
+
+    def run_frame(st, frame, acc):
+        outs = []
+        t = [0.0] * 7
+
+        def bracket(i, fn, *a):
+            t0 = time.perf_counter()
+            out = fn(*a)
+            jax.block_until_ready(out)
+            t[i] = time.perf_counter() - t0
+            return out
+
+        st, pred = bracket(0, fns[0], st)
+        m, aux, in_ellipse = bracket(1, fns[1], st, pred, frame)
+        res = bracket(2, fns[2], st, pred, m)
+        st = bracket(3, fns[3], st, pred, m, res.inliers)
+        pred2, rescued = bracket(4, fns[4], st, m, res.outliers)
+        st = bracket(5, fns[5], st, pred2, m, rescued)
+        st, *_ = bracket(6, fns[6], st, pred, m, res.inliers | rescued,
+                         aux, in_ellipse)
+        if acc is not None:
+            acc += np.asarray(t)
+        return st
+
+    state = run_frame(state, jnp.asarray(frames[1]), None)   # compile
+    for f in frames[2:]:
+        state = run_frame(state, jnp.asarray(f), totals)
+    s = totals.sum()
+    return totals / s if s > 0 else np.full(7, 1.0 / 7)
+
+
 def run_sequence_on_device(runtime: SlamRuntime, frames: np.ndarray,
                            chunk: int = 0):
     """init on frame 0, scan the rest.  ``chunk`` > 0 scans in chunks of

@@ -53,97 +53,182 @@ def write_scale_factor(path: str, name: str, factor: float) -> None:
         f.write(f"function [x] = {name}()\nx = [{factor:.17g}];\nend\n")
 
 
-def records_to_dicts(records) -> list:
+PHASE_KEYS = ("Prediction", "Matching", "Ransac", "UpdateLI",
+              "RescueOutliers", "UpdateHI", "MapManagement")
+
+
+def records_to_dicts(records, phase_shares=None, frame_time_us=None) -> list:
     """Stacked StepRecord pytree (scan runner output) -> per-frame dicts
-    in the engine's record format."""
+    in the engine's record format.
+
+    ``phase_shares`` (7,) + ``frame_time_us`` optionally attribute the
+    scan-mode per-frame budget to the 7 phases (profiler-calibrated shares;
+    scan mode cannot bracket phases individually inside the fused program).
+    """
     x = np.asarray(records.x_cam, np.float64)
+    P = np.asarray(records.P_cam, np.float64)
     tm = np.asarray(records.total_matches)
     li = np.asarray(records.li_inliers)
     hi = np.asarray(records.hi_inliers)
     na = np.asarray(records.n_active)
     out = []
     for i in range(len(x)):
-        out.append({
+        r = {
             "frame": i + 1,
             "position": x[i, 0:3].tolist(),
             "orientation": x[i, 3:7].tolist(),
             "linear_velocity": x[i, 7:10].tolist(),
             "angular_velocity": x[i, 10:13].tolist(),
+            "covariance_cam": P[i].tolist(),
             "total_matches": int(tm[i]),
             "li_inliers": int(li[i]),
             "hi_inliers": int(hi[i]),
             "n_active": int(na[i]),
-            "wall_time_s": 0.0,
-        })
+            "wall_time_s": (frame_time_us or 0.0) * 1e-6,
+        }
+        if phase_shares is not None and frame_time_us is not None:
+            r["phase_times_us"] = {
+                k: float(s) * frame_time_us
+                for k, s in zip(PHASE_KEYS, phase_shares)}
+        out.append(r)
     return out
 
 
+def _write_cvmat(f, indent: str, name: str, rows: int, cols: int,
+                 data) -> None:
+    f.write(f"{indent}{name}: !!opencv-matrix\n")
+    f.write(f"{indent}   rows: {rows}\n")
+    f.write(f"{indent}   cols: {cols}\n")
+    f.write(f"{indent}   dt: d\n")
+    vals = ", ".join(f"{float(v):.17g}" for v in np.asarray(data).ravel())
+    f.write(f"{indent}   data: [ {vals} ]\n")
+
+
 def write_output_yml(records, path: str) -> str:
-    """output.yml dump (EKF.cpp:614-629 layout) from record dicts or a
-    stacked StepRecord pytree."""
+    """Reference-shaped output.yml (the exact key set EKF::step writes,
+    EKF.cpp:291,340,410-416,437,511-517,539,614-628): 7 per-phase
+    microsecond timings, match/inlier counts, the 1x13 StateEstimation
+    matrix with inverse-depth/XYZ counts, and the 13x13
+    StateCovarianceMatrixEstimation corner."""
     if not isinstance(records, list):
         records = records_to_dicts(records)
     with open(path, "w") as f:
         f.write("%YAML:1.0\n")
         for r in records:
+            pt = r.get("phase_times_us") or {}
             f.write(f'"Frame {r["frame"]}":\n')
-            f.write(f"  totalMatches: {r['total_matches']}\n")
-            f.write(f"  liInliers: {r['li_inliers']}\n")
-            f.write(f"  hiInliers: {r['hi_inliers']}\n")
-            f.write("  StateEstimation:\n")
-            f.write(f"    position: {r['position']}\n")
-            f.write(f"    orientation: {r['orientation']}\n")
-            f.write(f"    linearVelocity: {r['linear_velocity']}\n")
-            f.write(f"    angularVelocity: {r['angular_velocity']}\n")
+            f.write(f"   Prediction: {pt.get('Prediction', 0.0):.1f}\n")
+            f.write(f"   Matching: {pt.get('Matching', 0.0):.1f}\n")
+            f.write(f"   Ransac: {pt.get('Ransac', 0.0):.1f}\n")
+            f.write(f"   totalMatches: {r['total_matches']}\n")
+            f.write(f"   liInliers: {r['li_inliers']}\n")
+            f.write(f"   UpdateLI: {pt.get('UpdateLI', 0.0):.1f}\n")
+            f.write("   RescueOutliers: "
+                    f"{pt.get('RescueOutliers', 0.0):.1f}\n")
+            f.write(f"   hiInliers: {r['hi_inliers']}\n")
+            f.write(f"   UpdateHI: {pt.get('UpdateHI', 0.0):.1f}\n")
+            f.write("   MapManagement: "
+                    f"{pt.get('MapManagement', 0.0):.1f}\n")
+            state13 = (list(r["position"]) + list(r["orientation"])
+                       + list(r["linear_velocity"])
+                       + list(r["angular_velocity"]))
+            _write_cvmat(f, "   ", "StateEstimation", 1, 13, state13)
+            f.write("   MapFeaturesInvDepthCount: "
+                    f"{r.get('n_inverse_depth', r.get('n_active', 0))}\n")
+            f.write(f"   MapFeaturesDepthCount: {r.get('n_xyz', 0)}\n")
+            if r.get("covariance_cam") is not None:
+                _write_cvmat(f, "   ", "StateCovarianceMatrixEstimation",
+                             13, 13, r["covariance_cam"])
     return path
 
 
 def read_output_yml(path: str) -> list:
-    """Parse an output.yml (ours or reference-shaped) back into records.
-
-    The reference's resultReader consumes output.yml frame nodes
-    (resultReader/main.cpp:82-150); this is the matching input side so the
-    report/trajectory tooling runs on dumped files, not only live runs.
-    """
-    import re
+    """Parse an output.yml (reference-shaped, as written by
+    write_output_yml / EKF.cpp) back into record dicts -- the input side of
+    the resultReader role (resultReader/main.cpp:82-150)."""
     records: list[dict] = []
     cur: dict | None = None
-    vec = re.compile(r"\[([^\]]*)\]")
+    pending_mat: str | None = None
+    mat_data: list = []
 
-    def parse_vec(line):
-        m = vec.search(line)
-        return [float(v) for v in m.group(1).split(",")] if m else []
+    def finish_mat():
+        nonlocal pending_mat, mat_data
+        if cur is None or pending_mat is None:
+            return
+        if pending_mat == "StateEstimation" and len(mat_data) == 13:
+            cur["position"] = mat_data[0:3]
+            cur["orientation"] = mat_data[3:7]
+            cur["linear_velocity"] = mat_data[7:10]
+            cur["angular_velocity"] = mat_data[10:13]
+        elif pending_mat == "StateCovarianceMatrixEstimation":
+            cur["covariance_cam"] = [mat_data[i * 13:(i + 1) * 13]
+                                     for i in range(13)]
+        pending_mat, mat_data = None, []
 
     with open(path) as f:
         for line in f:
             s = line.strip()
             if s.startswith('"Frame'):
+                finish_mat()
                 if cur:
                     records.append(cur)
-                cur = {"frame": int(s.split()[1].rstrip('":'))}
-            elif cur is not None:
-                if s.startswith("totalMatches:"):
-                    cur["total_matches"] = int(s.split(":")[1])
-                elif s.startswith("liInliers:"):
-                    cur["li_inliers"] = int(s.split(":")[1])
-                elif s.startswith("hiInliers:"):
-                    cur["hi_inliers"] = int(s.split(":")[1])
-                elif s.startswith("position:"):
-                    cur["position"] = parse_vec(s)
-                elif s.startswith("orientation:"):
-                    cur["orientation"] = parse_vec(s)
-                elif s.startswith("linearVelocity:"):
-                    cur["linear_velocity"] = parse_vec(s)
-                elif s.startswith("angularVelocity:"):
-                    cur["angular_velocity"] = parse_vec(s)
+                cur = {"frame": int(s.split()[1].rstrip('":')),
+                       "phase_times_us": {}}
+                continue
+            if cur is None:
+                continue
+            if ":" not in s:
+                continue
+            key, _, val = s.partition(":")
+            val = val.strip()
+            if key in ("rows", "cols", "dt") and pending_mat:
+                continue
+            if key == "data" and pending_mat:
+                mat_data = [float(v) for v in
+                            val.strip("[] ").split(",") if v.strip()]
+                finish_mat()
+                continue
+            finish_mat()
+            if key in ("StateEstimation", "StateCovarianceMatrixEstimation"):
+                pending_mat, mat_data = key, []
+            elif key == "totalMatches":
+                cur["total_matches"] = int(val)
+            elif key == "liInliers":
+                cur["li_inliers"] = int(val)
+            elif key == "hiInliers":
+                cur["hi_inliers"] = int(val)
+            elif key == "MapFeaturesInvDepthCount":
+                cur["n_inverse_depth"] = int(val)
+            elif key == "MapFeaturesDepthCount":
+                cur["n_xyz"] = int(val)
+            elif key in PHASE_KEYS:
+                cur["phase_times_us"][key] = float(val)
+    finish_mat()
     if cur:
         records.append(cur)
     for r in records:
-        r.setdefault("wall_time_s", 0.0)
+        r.setdefault("wall_time_s",
+                     sum(r.get("phase_times_us", {}).values()) * 1e-6)
         r.setdefault("hi_inliers", 0)
         r.setdefault("li_inliers", 0)
         r.setdefault("total_matches", 0)
+        if r.get("n_inverse_depth") is not None:
+            r.setdefault("n_active",
+                         r["n_inverse_depth"] + r.get("n_xyz", 0))
     return records
+
+
+def write_times_cpu(path: str, name: str, phase_times: np.ndarray) -> None:
+    """7-phase per-frame timing series in the reference's timesCpu.m
+    format (TimesCpu::save, resultReader/TimesCpu.cpp:49-71):
+    ``function [p, m, ran, li, res, hi, map] = timesCpu()``."""
+    labels = ("p", "m", "ran", "li", "res", "hi", "map")
+    with open(path, "w") as f:
+        f.write(f"function [{', '.join(labels)}] = {name}()\n")
+        for j, lab in enumerate(labels):
+            vals = " ".join(f"{v:.17g}" for v in phase_times[:, j])
+            f.write(f"{lab} = [{vals}];\n")
+        f.write("end\n")
 
 
 def _extract(records):
@@ -156,6 +241,9 @@ def _extract(records):
         li = np.asarray([r["li_inliers"] for r in records])
         hi = np.asarray([r["hi_inliers"] for r in records])
         times = np.asarray([r.get("wall_time_s", 0.0) for r in records])
+        phase = np.asarray(
+            [[r.get("phase_times_us", {}).get(k, 0.0) for k in PHASE_KEYS]
+             for r in records])
     else:
         x = np.asarray(records.x_cam)
         pos, quat, vel, avel = x[:, 0:3], x[:, 3:7], x[:, 7:10], x[:, 10:13]
@@ -163,14 +251,15 @@ def _extract(records):
         li = np.asarray(records.li_inliers)
         hi = np.asarray(records.hi_inliers)
         times = np.zeros(len(x))
-    return pos, quat, vel, avel, matches, li, hi, times
+        phase = np.zeros((len(x), 7))
+    return pos, quat, vel, avel, matches, li, hi, times, phase
 
 
 def emit_matlab_report(records, output_dir: str,
                        robot_velocity: float = EXABOT_VELOCITY) -> dict:
     """Write the full resultReader artifact set (resultReader/main.cpp:152-163)."""
     os.makedirs(output_dir, exist_ok=True)
-    pos, quat, vel, avel, matches, li, hi, times = _extract(records)
+    pos, quat, vel, avel, matches, li, hi, times, phase = _extract(records)
 
     write_points3d(os.path.join(output_dir, "cameraPositions.m"),
                    "cameraPositions", pos)
@@ -183,7 +272,12 @@ def emit_matlab_report(records, output_dir: str,
     write_points1d(os.path.join(output_dir, "matches.m"), "matches", matches)
     write_points1d(os.path.join(output_dir, "inliers.m"), "inliers", li)
     write_points1d(os.path.join(output_dir, "rescued.m"), "rescued", hi)
-    write_points1d(os.path.join(output_dir, "timesCpu.m"), "timesCpu", times)
+    # timesCpu.m carries the 7-phase series (TimesCpu.cpp format); the
+    # per-frame wall totals go to wallTimes.m
+    write_times_cpu(os.path.join(output_dir, "timesCpu.m"), "timesCpu",
+                    phase)
+    write_points1d(os.path.join(output_dir, "wallTimes.m"), "wallTimes",
+                   times)
 
     sf = scale_factor(vel, robot_velocity)
     write_scale_factor(os.path.join(output_dir, "scaleFactor.m"),

@@ -128,11 +128,17 @@ class TestEval:
         big = np.asarray(brief.smooth(jnp.asarray(big), 1.0))
         cfg = SlamConfig(max_features=12, max_keypoints=64,
                          max_hypotheses=12)
-        eng = SlamEngine(cfg, output_path=str(tmp_path / "o"))
+        eng = SlamEngine(cfg, output_path=str(tmp_path / "o"),
+                         phase_timing=True)
         eng.init(big[20:140, 20:148])
         for i in range(1, 4):
             eng.step(big[20:140, 20 + i:148 + i])
         eng.close()
+
+        # phase timing: all 7 reference phase keys, strictly positive
+        pt = eng.records[-1]["phase_times_us"]
+        assert set(pt) == set(result_reader.PHASE_KEYS)
+        assert all(v > 0 for v in pt.values()), pt
 
         loaded = result_reader.read_output_yml(
             str(tmp_path / "o" / "output.yml"))
@@ -141,7 +147,45 @@ class TestEval:
             assert got["total_matches"] == want["total_matches"]
             np.testing.assert_allclose(got["position"], want["position"],
                                        rtol=1e-12)
+            # the 13x13 covariance corner round-trips (EKF.cpp:625-627)
+            np.testing.assert_allclose(got["covariance_cam"],
+                                       want["covariance_cam"], rtol=1e-12)
+            # per-phase microsecond timings round-trip (EKF.cpp:291-618)
+            for k in result_reader.PHASE_KEYS:
+                assert got["phase_times_us"][k] == pytest.approx(
+                    want["phase_times_us"][k], abs=0.05)
+            assert got["n_inverse_depth"] + got["n_xyz"] == want["n_active"]
         # parsed records drive the report tooling
         info = result_reader.emit_matlab_report(loaded,
                                                 str(tmp_path / "rep"))
         assert info["n_frames"] == 3
+        times_txt = open(tmp_path / "rep" / "timesCpu.m").read()
+        assert times_txt.startswith(
+            "function [p, m, ran, li, res, hi, map] = timesCpu()")
+        assert " = [" in times_txt
+
+    def test_phase_timed_step_equals_fused_step(self, tmp_path):
+        """The 7-phase split path must produce the same filter math as the
+        fused jitted step."""
+        from openekfmonoslam_tpu.engine.engine import SlamEngine
+        from openekfmonoslam_tpu.config import SlamConfig
+        import jax.numpy as jnp
+        from openekfmonoslam_tpu.vision import brief
+
+        rng = np.random.default_rng(7)
+        big = np.kron(rng.integers(0, 255, (40, 44)),
+                      np.ones((4, 4))).astype(np.float32)
+        big = np.asarray(brief.smooth(jnp.asarray(big), 1.0))
+        cfg = SlamConfig(max_features=12, max_keypoints=64,
+                         max_hypotheses=12, dtype="float64")
+        runs = []
+        for timed in (False, True):
+            eng = SlamEngine(cfg, phase_timing=timed)
+            eng.init(big[20:140, 20:148])
+            for i in range(1, 4):
+                eng.step(big[20:140, 20 + i:148 + i])
+            runs.append(eng)
+        np.testing.assert_allclose(runs[0].state_vector,
+                                   runs[1].state_vector, rtol=0, atol=1e-13)
+        np.testing.assert_allclose(runs[0].covariance,
+                                   runs[1].covariance, rtol=0, atol=1e-13)
