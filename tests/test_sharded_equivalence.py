@@ -1,0 +1,152 @@
+"""Sharded == unsharded proof (SURVEY section 4's 'sharded update
+bit-matches the single-chip update'; VERDICT round 1 missing #4).
+
+Runs the FULL frame step under block-row P sharding on the virtual
+8-device mesh for a dozen real-churn frames -- feature adds, bad-ratio
+culls, unseen-pressure removals, inverse-depth->XYZ conversions, and
+chi-square rescues all firing -- and asserts the trajectory and covariance
+match the single-device run in float64.
+
+Also compiles the sharded step and inventories the collectives XLA
+inserted (the accounting stand-in for multi-host scaling measurements,
+which need hardware this environment does not have).
+"""
+
+import dataclasses
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from openekfmonoslam_tpu.config import CameraCalibration, EKFParams, SlamConfig
+from openekfmonoslam_tpu.engine.step import SlamRuntime
+from openekfmonoslam_tpu.io.sources import SlidingWindowSource
+from openekfmonoslam_tpu.parallel.sharding import (
+    make_mesh,
+    make_sharded_init,
+    make_sharded_step,
+    shard_state,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the virtual 8-device mesh")
+
+
+@pytest.fixture(scope="module")
+def churn_cfg():
+    cam = CameraCalibration(
+        pixels_x=160, pixels_y=120, fx=120.0, fy=120.0,
+        cx=80.0, cy=60.0, k1=-0.01, k2=0.001, dx=0.01, dy=0.01,
+        angular_vision_x=45.0, angular_vision_y=35.0)
+    # parameters tuned so every map-management mechanism fires within a
+    # 12-frame synthetic run: conversion threshold high (converts every
+    # frame), tight matching percent (culls), unseen pressure on
+    ekf = EKFParams(min_matches_per_image=14,
+                    detect_new_features_image_areas_divide_times=1,
+                    good_feature_matching_percent=0.6,
+                    inverse_depth_linearity_index_threshold=3.0,
+                    always_remove_unseen_map_features=True)
+    return SlamConfig(camera=cam, ekf=ekf, max_features=24, max_keypoints=128,
+                      dtype="float64", pad_state_to=128,
+                      detector=dataclasses.replace(
+                          SlamConfig().detector, threshold=12.0))
+
+
+@pytest.fixture(scope="module")
+def frames(rng_module=np.random.default_rng(3)):
+    img = np.zeros((240, 400), np.float32)
+    for _ in range(140):
+        y, x = rng_module.integers(6, 234), rng_module.integers(6, 394)
+        s = rng_module.integers(2, 5)
+        img[y - s:y + s, x - s:x + s] = rng_module.integers(60, 255)
+    src = SlidingWindowSource(img.astype(np.uint8), (120, 160),
+                              step_xy=(2, 1), n_frames=13)
+    return [jnp.asarray(f) for f in src]
+
+
+def _run_unsharded(cfg, frames):
+    rt = SlamRuntime(cfg)
+    init_fn, step_fn = rt.jitted()
+    state = rt.make_initial_state()
+    state = init_fn(state, frames[0])
+    recs = []
+    for f in frames[1:]:
+        state, rec = step_fn(state, f)
+        recs.append(rec)
+    return state, recs
+
+
+def _run_sharded(cfg, frames, mesh):
+    rt = SlamRuntime(cfg)
+    state = shard_state(rt.make_initial_state(), mesh)
+    init_fn = make_sharded_init(rt, mesh)
+    step_fn = make_sharded_step(rt, mesh)
+    state = init_fn(state, frames[0])
+    recs = []
+    for f in frames[1:]:
+        state, rec = step_fn(state, f)
+        recs.append(rec)
+    return state, recs
+
+
+def test_sharded_step_matches_single_device(churn_cfg, frames):
+    assert churn_cfg.padded_state_dim % 8 == 0
+    s1, r1 = _run_unsharded(churn_cfg, frames)
+    mesh = make_mesh(jax.devices()[:8])
+    s8, r8 = _run_sharded(churn_cfg, frames, mesh)
+
+    # the run actually churns: adds, removals, conversions, rescues
+    active = np.asarray([int(r.n_active) for r in r1])
+    assert active.max() > active.min(), active
+    assert bool(np.asarray(s1.is_xyz).any()), "no conversion happened"
+    assert any(int(r.hi_inliers) > 0 for r in r1), "no rescue happened"
+
+    # per-frame trajectory identical between the sharded and single-device
+    # programs (float64; XLA op order may differ -> allclose, not equal)
+    for i, (a, b) in enumerate(zip(r1, r8)):
+        np.testing.assert_allclose(
+            np.asarray(b.x_cam), np.asarray(a.x_cam), rtol=0, atol=1e-9,
+            err_msg=f"frame {i}")
+        assert int(a.total_matches) == int(b.total_matches), i
+        assert int(a.li_inliers) == int(b.li_inliers), i
+        assert int(a.hi_inliers) == int(b.hi_inliers), i
+        assert int(a.n_active) == int(b.n_active), i
+
+    np.testing.assert_allclose(np.asarray(s8.x), np.asarray(s1.x),
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(s8.P), np.asarray(s1.P),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(s8.active),
+                                  np.asarray(s1.active))
+    np.testing.assert_array_equal(np.asarray(s8.is_xyz),
+                                  np.asarray(s1.is_xyz))
+
+
+def test_sharded_step_collective_inventory(churn_cfg, frames):
+    """Compile the sharded step and account for the collectives XLA
+    inserted -- the per-step communication budget of the P row sharding."""
+    rt = SlamRuntime(churn_cfg)
+    mesh = make_mesh(jax.devices()[:8])
+    state = shard_state(rt.make_initial_state(), mesh)
+    step_fn = make_sharded_step(rt, mesh)
+    compiled = step_fn.lower(state, frames[0]).compile()
+    hlo = compiled.as_text()
+    counts = {name: len(re.findall(rf"\b{name}\b[^a-z-]", hlo))
+              for name in ("all-gather", "all-reduce", "reduce-scatter",
+                           "collective-permute", "all-to-all")}
+    print("sharded-step collective inventory (8-way P row sharding):",
+          counts)
+    # the step must be partitioned, not all-gathered back to replicated:
+    # some collectives exist, and P-sized all-gathers stay bounded
+    assert sum(counts.values()) > 0, counts
+    n = churn_cfg.padded_state_dim
+    # full-P all-gathers are the expensive ones (N^2 x 8 bytes each);
+    # measured 7/step at round 2 (the predict strip, S assembly, downdate,
+    # RANSAC gain, conversion and add paths each rebuild a replicated P
+    # view) -- tracked here so regressions in the sharding show up
+    full_p_gathers = len(re.findall(
+        rf"all-gather[^\n]*f64\[{n},{n}\]", hlo))
+    print(f"full-P ({n}x{n}) all-gathers per step: {full_p_gathers}")
+    assert full_p_gathers <= 8, (full_p_gathers, counts)
