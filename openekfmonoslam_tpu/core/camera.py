@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from openekfmonoslam_tpu.config import CameraCalibration
@@ -108,6 +109,17 @@ def distort(cam: Camera, uv_undist: jnp.ndarray) -> jnp.ndarray:
         f = rd + cam.k1 * rd2 * rd + cam.k2 * rd2 * rd2 * rd - ru
         fp = 1.0 + 3.0 * cam.k1 * rd2 + 5.0 * cam.k2 * rd2 * rd2
         rd = rd - f / fp
+    # Implicit differentiation: the converged root is wrapped in
+    # stop_gradient and ONE differentiable Newton step is appended.  The
+    # value is unchanged (the step's correction is ~0 at convergence; if
+    # anything more converged) while jacfwd's tangents flow only through
+    # this step -- d(rd)/d(ru) = 1/g'(rd) exactly as the implicit function
+    # theorem gives -- instead of through all 10 unrolled iterations.
+    rd_s = jax.lax.stop_gradient(rd)
+    rd2s = rd_s * rd_s
+    f = rd_s + cam.k1 * rd2s * rd_s + cam.k2 * rd2s * rd2s * rd_s - ru
+    fp = 1.0 + 3.0 * cam.k1 * rd2s + 5.0 * cam.k2 * rd2s * rd2s
+    rd = rd_s - f / fp
     rd2 = rd * rd
     d = 1.0 + cam.k1 * rd2 + cam.k2 * rd2 * rd2
     return jnp.stack([cam.cx + du / d, cam.cy + dv / d], axis=-1)

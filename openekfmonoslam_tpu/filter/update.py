@@ -26,7 +26,7 @@ from jax.scipy.linalg import cho_factor, cho_solve
 
 from openekfmonoslam_tpu.core import quaternion as quat
 from openekfmonoslam_tpu.filter.measure import Prediction, dense_H
-from openekfmonoslam_tpu.filter.state import SlamState
+from openekfmonoslam_tpu.filter.state import CAM_DIM, FEAT_DIM, SlamState
 
 
 def masked_innovation(pred: Prediction, z: jnp.ndarray, use: jnp.ndarray,
@@ -52,17 +52,32 @@ def kalman_update(state: SlamState, pred: Prediction, z: jnp.ndarray,
     P = state.P
     dtype = P.dtype
     F = pred.uv.shape[0]
+    N = P.shape[0]
 
-    res, H = masked_innovation(pred, z, use, P.shape[0])
+    # H is structurally sparse: row block i is [Hc_i | 0 .. Hf_i .. 0], so
+    # H P and H P H^T are assembled from the camera strip and the per-slot
+    # strips instead of a dense (2F, N) x (N, N) product -- ~30x fewer
+    # MXU FLOPs for identical math (the dense equivalence is locked by
+    # tests/test_filter.py's dense_H-based oracle).
+    m = use[:, None].astype(dtype)
+    res = ((z - pred.uv) * m).reshape(-1)
+    Hc_m = pred.Hc[:, :, :CAM_DIM] * m[:, :, None]     # (F, 2, 13)
+    Hf_m = pred.Hf * m[:, :, None]                     # (F, 2, 6)
     use2 = jnp.repeat(use, 2)                          # (2F,) row mask
 
-    HP = H @ P                                         # (2F, N)
-    S = HP @ H.T                                       # (2F, 2F)
+    Pc = P[:CAM_DIM, :]                                # (13, N)
+    Pf = P[CAM_DIM:CAM_DIM + FEAT_DIM * F, :].reshape(F, FEAT_DIM, N)
+    HP = (jnp.einsum("fic,cn->fin", Hc_m, Pc)
+          + jnp.einsum("fid,fdn->fin", Hf_m, Pf)).reshape(2 * F, N)
+
+    S = HP[:, :CAM_DIM] @ Hc_m.reshape(2 * F, CAM_DIM).T
+    HPf = HP[:, CAM_DIM:CAM_DIM + FEAT_DIM * F].reshape(2 * F, F, FEAT_DIM)
+    S = S + jnp.einsum("ajd,jid->aji", HPf, Hf_m).reshape(2 * F, 2 * F)
     # R = pixelError * I on used rows (Update.cpp:95-97); identity rows for
-    # masked slots keep S SPD without affecting the result.
+    # masked slots keep S SPD without affecting the result.  Masked slots'
+    # S rows/cols are already zero (Hc_m/Hf_m carry the mask).
     r_diag = jnp.where(use2, jnp.asarray(pixel_error, dtype), 1.0)
-    m2 = use2.astype(dtype)
-    S = S * m2[:, None] * m2[None, :] + jnp.diag(r_diag)
+    S = S + jnp.diag(r_diag)
 
     # K = P H^T S^-1  computed as  K^T = S^-1 (H P)
     KT = cho_solve(cho_factor(S, lower=True), HP)      # (2F, N)

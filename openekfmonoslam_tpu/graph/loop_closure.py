@@ -83,13 +83,18 @@ def match_2d3d(kf_desc: jnp.ndarray, kf_valid: jnp.ndarray,
 
 def pnp_gauss_newton(camera: Camera, xyz: jnp.ndarray, uv: jnp.ndarray,
                      valid: jnp.ndarray, r0: jnp.ndarray, q0: jnp.ndarray,
-                     iterations: int = 15, damping: float = 1e-6):
+                     iterations: int = 15, damping: float = 1e-6,
+                     trim_px: float = 3.0):
     """Masked GN PnP: camera pose from 2D-3D matches through the exact
-    projection + re-distortion model.  Returns (r, q, rms_px, n_used)."""
+    projection + re-distortion model.  Returns (r, q, rms_px, n_used, H).
+
+    Robust to wrong 2-NN correspondences (gate-free descriptor matching
+    inevitably admits impostors): after a first solve over all matches,
+    matches whose reprojection error exceeds ``trim_px`` are dropped and
+    the pose is re-solved on the survivors; rms/n_used/H describe the
+    trimmed set."""
     dtype = xyz.dtype
     uv = uv.astype(dtype)
-    w = valid.astype(dtype)
-    n_used = jnp.sum(valid.astype(jnp.int32))
 
     def project_all(r, q):
         Rt = quat.to_rotation_matrix(q).T
@@ -102,35 +107,52 @@ def pnp_gauss_newton(camera: Camera, xyz: jnp.ndarray, uv: jnp.ndarray,
                                                    p.at[2].set(z_safe)))
         return jax.vmap(one)(xyz)
 
-    def residual(delta, r, q):
-        dr, dth = delta[0:3], delta[3:6]
-        dq = jnp.concatenate([jnp.ones((1,), dtype), 0.5 * dth])
-        q2 = quat.multiply(q, dq)
-        q2 = q2 / jnp.linalg.norm(q2)
-        res = (project_all(r + dr, q2) - uv) * w[:, None]
-        return res.reshape(-1)
+    def make_residual(w):
+        def residual(delta, r, q):
+            dr, dth = delta[0:3], delta[3:6]
+            dq = jnp.concatenate([jnp.ones((1,), dtype), 0.5 * dth])
+            q2 = quat.multiply(q, dq)
+            q2 = q2 / jnp.linalg.norm(q2)
+            res = (project_all(r + dr, q2) - uv) * w[:, None]
+            return res.reshape(-1)
+        return residual
 
-    def gn(i, carry):
-        r, q = carry
-        zero6 = jnp.zeros((6,), dtype)
-        res = residual(zero6, r, q)
-        J = jax.jacfwd(residual)(zero6, r, q)          # (2M, 6)
-        H = J.T @ J + damping * jnp.eye(6, dtype=dtype)
-        g = J.T @ res
-        delta = -jnp.linalg.solve(H, g)
-        dq = jnp.concatenate([jnp.ones((1,), dtype), 0.5 * delta[3:6]])
-        q_new = quat.multiply(q, dq)
-        q_new = q_new / jnp.linalg.norm(q_new)
-        return r + delta[0:3], q_new
+    def solve(w, r, q):
+        residual = make_residual(w)
 
-    r, q = jax.lax.fori_loop(0, iterations, gn,
-                             (r0.astype(dtype), q0.astype(dtype)))
+        def gn(i, carry):
+            r, q = carry
+            zero6 = jnp.zeros((6,), dtype)
+            res = residual(zero6, r, q)
+            J = jax.jacfwd(residual)(zero6, r, q)      # (2M, 6)
+            H = J.T @ J + damping * jnp.eye(6, dtype=dtype)
+            g = J.T @ res
+            delta = -jnp.linalg.solve(H, g)
+            dq = jnp.concatenate([jnp.ones((1,), dtype),
+                                  0.5 * delta[3:6]])
+            q_new = quat.multiply(q, dq)
+            q_new = q_new / jnp.linalg.norm(q_new)
+            return r + delta[0:3], q_new
+
+        return jax.lax.fori_loop(0, iterations, gn, (r, q))
+
+    w0 = valid.astype(dtype)
+    r, q = solve(w0, r0.astype(dtype), q0.astype(dtype))
+
+    # trim: drop correspondences whose first-pass reprojection error
+    # exceeds trim_px, then re-solve on the survivors
+    err = jnp.linalg.norm(project_all(r, q) - uv, axis=-1)
+    inlier = valid & (err <= trim_px)
+    w = inlier.astype(dtype)
+    n_used = jnp.sum(inlier.astype(jnp.int32))
+    r, q = solve(w, r, q)
+
     res = (project_all(r, q) - uv) * w[:, None]
     rms = jnp.sqrt(jnp.sum(res * res)
                    / jnp.maximum(2.0 * n_used.astype(dtype), 1.0))
     # pose information at the solution (unit pixel noise): J^T J over the
     # local (dr, dtheta) parametrization -- the loop edge's weight
-    J = jax.jacfwd(residual)(jnp.zeros((6,), dtype), r, q)
+    J = jax.jacfwd(make_residual(w))(jnp.zeros((6,), dtype), r, q)
     H = J.T @ J
     return r, q, rms, n_used, H
 
@@ -218,7 +240,7 @@ class LoopCloser:
             jnp.asarray(kf.r, self.runtime.dtype),
             jnp.asarray(kf.q, self.runtime.dtype))
         rms = float(rms)
-        if rms > self.max_rms_px:
+        if rms > self.max_rms_px or int(n_used) < self.min_matches:
             return None
         r = np.asarray(r, np.float64)
         q = np.asarray(q, np.float64)

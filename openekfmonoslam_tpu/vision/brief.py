@@ -35,6 +35,34 @@ def make_pattern(n_bits: int = 256, patch_size: int = 33, seed: int = 7
     return np.clip(np.round(pts), -half, half).astype(np.int32)
 
 
+def make_shared_pattern(n_bits: int = 256, patch_size: int = 33,
+                        seed: int = 7, n_points: int = 64
+                        ) -> tuple[np.ndarray, np.ndarray]:
+    """Shared-point BRIEF pattern: (points (P, 2), pairs (n_bits, 2)).
+
+    Instead of 2*n_bits independent sample locations, draw ``n_points``
+    distinct offsets and build the n_bits comparisons as pairs among them
+    (the BRISK/FREAK sampling-pool design -- BRISK uses 60 points, FREAK
+    43, for 512 pairs).  The dense extraction then needs P shifted image
+    views instead of 2*n_bits: 8x fewer shifted loads, which is exactly
+    what bounds dense_descriptors on TPU (see its perf note).
+    """
+    rng = np.random.default_rng(seed)
+    half = patch_size // 2
+    sigma = patch_size / 5.0
+    pts = set()
+    while len(pts) < n_points:
+        p = np.clip(np.round(rng.normal(0.0, sigma, size=2)), -half, half)
+        pts.add((int(p[0]), int(p[1])))
+    points = np.asarray(sorted(pts), dtype=np.int32)        # (P, 2) dy, dx
+    pairs = set()
+    while len(pairs) < n_bits:
+        i, j = rng.integers(0, n_points, size=2)
+        if i != j and (i, j) not in pairs and (j, i) not in pairs:
+            pairs.add((int(i), int(j)))
+    return points, np.asarray(sorted(pairs), dtype=np.int32)
+
+
 def gaussian_kernel(sigma: float, radius: int = 4) -> np.ndarray:
     x = np.arange(-radius, radius + 1, dtype=np.float64)
     k = np.exp(-0.5 * (x / sigma) ** 2)
@@ -136,6 +164,61 @@ def dense_descriptors(smoothed: jnp.ndarray, pattern) -> jnp.ndarray:
             acc = acc | (bit.astype(jnp.uint32) << j)
         words.append(acc)
     return jnp.stack(words)                       # (W8, H, W)
+
+
+def dense_descriptors_shared(smoothed: jnp.ndarray, points, pairs
+                             ) -> jnp.ndarray:
+    """Whole-image shared-point descriptors: (W8, H, W) uint32 bit-planes.
+
+    Same output contract as dense_descriptors, built from a
+    make_shared_pattern pool: only P (=64) shifted views of the padded
+    image are materialized, and the n_bits comparisons index into them.
+    The shifted loads -- not the compares -- bound this op on TPU, so the
+    8x reduction in distinct views is the win.
+    """
+    import numpy as np_
+    points = np_.asarray(points)
+    pairs = np_.asarray(pairs)
+    h, w = smoothed.shape
+    half = int(np_.abs(points).max())
+    padded = jnp.pad(smoothed, half, mode="edge")
+
+    views = [jax.lax.slice(padded, (half + int(dy), half + int(dx)),
+                           (half + int(dy) + h, half + int(dx) + w))
+             for dy, dx in points]
+
+    n_bits = pairs.shape[0]
+    words = []
+    for wstart in range(0, n_bits, 32):
+        acc = jnp.zeros((h, w), jnp.uint32)
+        for j in range(32):
+            i1, i2 = int(pairs[wstart + j, 0]), int(pairs[wstart + j, 1])
+            bit = views[i1] < views[i2]
+            acc = acc | (bit.astype(jnp.uint32) << j)
+        words.append(acc)
+    return jnp.stack(words)                       # (W8, H, W)
+
+
+def extract_shared(smoothed: jnp.ndarray, yx: jnp.ndarray, points,
+                   pairs) -> jnp.ndarray:
+    """Sparse shared-point extraction at K keypoints: (K, n_bits/32).
+
+    Bit-exact with dense_descriptors_shared + lookup_descriptors away from
+    the image border (the dense path pads edge-replicated, this one clips
+    sample coordinates -- same values).
+    """
+    h, w = smoothed.shape
+    pts = jnp.asarray(points)
+    y = jnp.clip(yx[:, 0:1] + pts[None, :, 0], 0, h - 1)   # (K, P)
+    x = jnp.clip(yx[:, 1:2] + pts[None, :, 1], 0, w - 1)
+    vals = smoothed[y, x]                                   # (K, P)
+    pr = jnp.asarray(pairs)
+    bits = vals[:, pr[:, 0]] < vals[:, pr[:, 1]]            # (K, B)
+    k, b = bits.shape
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))
+    return jnp.sum(
+        bits.reshape(k, b // 32, 32).astype(jnp.uint32) * weights[None, None],
+        axis=-1, dtype=jnp.uint32)
 
 
 def lookup_descriptors(planes: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:

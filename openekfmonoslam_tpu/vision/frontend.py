@@ -49,7 +49,14 @@ class Frontend:
             raise ValueError(
                 "matcher='ncc' requires descriptor kind 'PATCH' (the state "
                 f"must hold appearance patches), got {desc.kind!r}")
-        if self.desc_kind in ("BRIEF", "ORB"):
+        if self.desc_kind == "BRIEF":
+            # shared-point pool (BRISK/FREAK-style): bounds the dense
+            # bit-plane pass by P=64 shifted views instead of 2*n_bits
+            self._points_np, self._pairs_np = brief.make_shared_pattern(
+                desc.n_bits, desc.patch_size, desc.pattern_seed)
+            self._pattern_np = None
+            self.pattern = None
+        elif self.desc_kind == "ORB":
             self._pattern_np = brief.make_pattern(
                 desc.n_bits, desc.patch_size, desc.pattern_seed)
             self.pattern = jnp.asarray(self._pattern_np)
@@ -101,8 +108,8 @@ class Frontend:
             if self.desc_kind == "BRIEF":
                 # dense bit-planes: per-keypoint extraction is an 8-word
                 # gather (the TPU fast path)
-                aux["planes"] = brief.dense_descriptors(
-                    smoothed, self._pattern_np)
+                aux["planes"] = brief.dense_descriptors_shared(
+                    smoothed, self._points_np, self._pairs_np)
             elif self.desc_kind == "ORB":
                 aux["smoothed"] = smoothed
                 m10, m01 = orb_mod.centroid_moment_maps(

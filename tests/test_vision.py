@@ -89,6 +89,50 @@ class TestBrief:
         assert int(brief.hamming_distance(a, b)[0, 0]) == 3
 
 
+class TestSharedBrief:
+    """Shared-point pool pattern (the dense-plane fast path's pattern)."""
+
+    def test_pattern_shapes(self):
+        points, pairs = brief.make_shared_pattern(256, 33, 7, 64)
+        assert points.shape == (64, 2) and pairs.shape == (256, 2)
+        assert len({tuple(p) for p in points}) == 64
+        assert (pairs[:, 0] != pairs[:, 1]).all()
+        assert np.abs(points).max() <= 16
+        # every pool point participates (expected ~8 uses each)
+        assert len(np.unique(pairs)) == 64
+
+    def test_dense_matches_sparse(self, rng):
+        img = random_texture(rng)
+        sm = brief.smooth(jnp.asarray(img))
+        points, pairs = brief.make_shared_pattern()
+        planes = brief.dense_descriptors_shared(sm, points, pairs)
+        yx = jnp.asarray([[40, 40], [30, 70], [70, 25]], jnp.int32)
+        d_dense = brief.lookup_descriptors(planes, yx)
+        d_sparse = brief.extract_shared(sm, yx, points, pairs)
+        np.testing.assert_array_equal(np.asarray(d_dense),
+                                      np.asarray(d_sparse))
+
+    def test_stable_under_translation(self, rng):
+        img = random_texture(rng)
+        points, pairs = brief.make_shared_pattern()
+        sm = brief.smooth(jnp.asarray(img))
+        d1 = brief.extract_shared(sm, jnp.asarray([[48, 48]], jnp.int32),
+                                  points, pairs)
+        img2 = np.roll(np.roll(img, 5, 0), 3, 1)
+        sm2 = brief.smooth(jnp.asarray(img2))
+        d2 = brief.extract_shared(sm2, jnp.asarray([[53, 51]], jnp.int32),
+                                  points, pairs)
+        assert int(brief.hamming_distance(d1, d2)[0, 0]) <= 16
+
+    def test_discriminative(self, rng):
+        img = random_texture(rng)
+        points, pairs = brief.make_shared_pattern()
+        sm = brief.smooth(jnp.asarray(img))
+        d = brief.extract_shared(
+            sm, jnp.asarray([[30, 30], [60, 60]], jnp.int32), points, pairs)
+        assert int(brief.hamming_distance(d[:1], d[1:])[0, 0]) > 40
+
+
 class TestMatching:
     def test_gate_and_nearest(self, rng):
         F, K, W = 3, 8, 8

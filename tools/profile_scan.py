@@ -86,8 +86,9 @@ def main():
                            lambda g: fast.non_max_suppress(
                                fast.fast_scores(g, 20.0), 2), gray)
         total += scan_time("blur+dense_descriptors",
-                           lambda g: brief.dense_descriptors(
-                               brief.smooth(g, 2.0), rt.frontend._pattern_np), gray)
+                           lambda g: brief.dense_descriptors_shared(
+                               brief.smooth(g, 2.0), rt.frontend._points_np,
+                               rt.frontend._pairs_np), gray)
         mask_fn = lambda p: matching.ellipse_union_mask(  # noqa: E731
             (480, 640), p.uv, p.S, p.visible, rt.gate)
         total += scan_time("ellipse_union_mask", mask_fn, pred)
@@ -101,8 +102,9 @@ def main():
                                    s, ~m, cfg.max_keypoints)), score, mask)
         kps = jax.jit(lambda s, m: fast.detect_keypoints(
             s, m, cfg.max_keypoints))(score, mask)
-        planes = jax.jit(lambda g: brief.dense_descriptors(
-            brief.smooth(g, 2.0), rt.frontend._pattern_np))(gray)
+        planes = jax.jit(lambda g: brief.dense_descriptors_shared(
+            brief.smooth(g, 2.0), rt.frontend._points_np,
+            rt.frontend._pairs_np))(gray)
         kp_desc = jax.jit(brief.lookup_descriptors)(planes, kps.yx)
         kp_xy = jnp.stack([kps.yx[:, 1], kps.yx[:, 0]], -1).astype(
             jnp.float32)

@@ -80,7 +80,8 @@ def main():
             total += bench("top-K detect", topk_fn, score, mask)
             kps = topk_fn(score, mask)
             sm = jax.jit(lambda g: brief.smooth(g, 2.0))(gray)
-            ext_fn = jax.jit(lambda s, yx: brief.extract(s, yx, rt.frontend.pattern))
+            ext_fn = jax.jit(lambda s, yx: brief.extract_shared(
+                s, yx, rt.frontend._points_np, rt.frontend._pairs_np))
             total += bench("brief extract", ext_fn, sm, kps.yx)
             kp_desc = ext_fn(sm, kps.yx)
             kp_xy = jnp.stack([kps.yx[:, 1], kps.yx[:, 0]], -1).astype(
