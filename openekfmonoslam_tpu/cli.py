@@ -93,6 +93,11 @@ def main(argv=None):
                          "trajectory is exported to OUTPUT")
     ap.add_argument("--relocalize-after", type=int, default=0,
                     help="auto map-reset after N consecutive lost frames")
+    ap.add_argument("--viz3d", type=int, default=0, metavar="N",
+                    help="write a 3D map/trajectory debug view "
+                         "(map3d_%%05d.png) every N frames (the "
+                         "reference's PCL viewer, Draw.h:88-100, rendered "
+                         "headlessly)")
     args = ap.parse_args(argv)
 
     import jax
@@ -177,6 +182,7 @@ def main(argv=None):
                         phase_timing=args.phase_timing,
                         keyframe_every=args.keyframe_every,
                         relocalize_after=args.relocalize_after,
+                        viz3d_every=args.viz3d,
                         **overrides)
     ckpt_path = (os.path.join(args.output, "checkpoint.npz")
                  if args.output else "checkpoint.npz")

@@ -38,7 +38,7 @@ class SlamEngine:
                  output_path: Optional[str] = None, render: bool = False,
                  keyframe_every: int = 0, keyframe_capacity: int = 256,
                  relocalize_after: int = 0, lost_matches_threshold: int = 4,
-                 phase_timing: bool = False,
+                 phase_timing: bool = False, viz3d_every: int = 0,
                  **overrides):
         if isinstance(config, str):
             cfg = load_config(config)
@@ -117,6 +117,12 @@ class SlamEngine:
             if render:
                 from openekfmonoslam_tpu.viz.draw import VideoSink
                 self._sink = VideoSink(output_path)
+        # 3D map debug channel (the reference's PCL viewer, Draw.h:88-100,
+        # rendered headlessly): map3d_%05d.png every viz3d_every frames
+        self._map3d = None
+        if output_path and viz3d_every > 0:
+            from openekfmonoslam_tpu.viz.viewer3d import Map3DSink
+            self._map3d = Map3DSink(output_path, every=viz3d_every)
 
     # ------------------------------------------------------------------
     def init(self, image: np.ndarray) -> None:
@@ -216,6 +222,10 @@ class SlamEngine:
                 f"  matches {record['total_matches']} inliers "
                 f"{record['li_inliers']}+{record['hi_inliers']} "
                 f"map {record['n_active']}\n")
+        if self._map3d is not None:
+            traj = np.asarray([r["position"] for r in self.records]
+                              + [record["position"]])
+            self._map3d.maybe_write(self.frame_index, self.state, traj)
         if self._sink is not None:
             from openekfmonoslam_tpu.viz.draw import draw_prediction_overlay
             frame = draw_prediction_overlay(

@@ -189,3 +189,27 @@ class TestEval:
                                    runs[1].state_vector, rtol=0, atol=1e-13)
         np.testing.assert_allclose(runs[0].covariance,
                                    runs[1].covariance, rtol=0, atol=1e-13)
+
+
+class TestViewer3D:
+    def test_render_map3d_synthetic(self):
+        from openekfmonoslam_tpu.viz.viewer3d import render_map3d
+        rng = np.random.default_rng(0)
+        lm = rng.normal(0, 1, (12, 3))
+        active = np.array([True] * 10 + [False] * 2)
+        is_xyz = np.array([True, False] * 6)
+        traj = np.cumsum(rng.normal(0, 0.01, (20, 3)), axis=0)
+        img = render_map3d(lm, active, is_xyz, traj,
+                           traj[-1], np.eye(3), sigma=np.abs(lm[:, 0]))
+        assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+        # something was actually drawn (not a blank canvas)
+        assert img.std() > 1.0
+
+    def test_cli_viz3d_channel(self, frame_dir, config_file, tmp_path):
+        from openekfmonoslam_tpu.cli import main
+        out = str(tmp_path / "out3d")
+        main([config_file, frame_dir, out, "--begin", "1", "--end", "6",
+              "--max-features", "16", "--progress", "0", "--viz3d", "2"])
+        import glob
+        pngs = glob.glob(os.path.join(out, "map3d_*.png"))
+        assert len(pngs) >= 2, pngs
