@@ -63,6 +63,10 @@ def main(argv=None):
                     default="interactive")
     ap.add_argument("--render", action="store_true",
                     help="write overlay PNGs + video (EKF.cpp:294-305)")
+    ap.add_argument("--render-debug", action="store_true",
+                    help="write RANSAC inlier/outlier + new-feature debug "
+                         "overlays to OUTPUT/debug (DEBUG_SHOW_RANSAC_INFO"
+                         "/DEBUG_SHOW_NEW_FEATURES, EKF.cpp:198-222,542-544)")
     ap.add_argument("--max-features", type=int, default=None)
     ap.add_argument("--matcher", choices=("descriptor", "ncc"), default=None,
                     help="guided-matching backend: detected-keypoint "
@@ -178,7 +182,7 @@ def main(argv=None):
         return
 
     engine = SlamEngine(args.config, output_path=args.output,
-                        render=args.render,
+                        render=args.render, render_debug=args.render_debug,
                         phase_timing=args.phase_timing,
                         keyframe_every=args.keyframe_every,
                         relocalize_after=args.relocalize_after,

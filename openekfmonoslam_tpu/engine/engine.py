@@ -36,6 +36,7 @@ from openekfmonoslam_tpu.io.sources import to_gray
 class SlamEngine:
     def __init__(self, config: "str | SlamConfig",
                  output_path: Optional[str] = None, render: bool = False,
+                 render_debug: bool = False,
                  keyframe_every: int = 0, keyframe_capacity: int = 256,
                  relocalize_after: int = 0, lost_matches_threshold: int = 4,
                  phase_timing: bool = False, viz3d_every: int = 0,
@@ -105,6 +106,7 @@ class SlamEngine:
         self._jsonl = None
         self._log = None
         self._sink = None
+        self._debug_sink = None
         if output_path:
             os.makedirs(output_path, exist_ok=True)
             self._jsonl = open(os.path.join(output_path, "records.jsonl"),
@@ -117,6 +119,11 @@ class SlamEngine:
             if render:
                 from openekfmonoslam_tpu.viz.draw import VideoSink
                 self._sink = VideoSink(output_path)
+            if render_debug:
+                from openekfmonoslam_tpu.viz.draw import VideoSink
+                self._debug_sink = VideoSink(
+                    os.path.join(output_path, "debug"),
+                    video_name="ransacDebug.mp4")
         # 3D map debug channel (the reference's PCL viewer, Draw.h:88-100,
         # rendered headlessly): map3d_%05d.png every viz3d_every frames
         self._map3d = None
@@ -233,6 +240,13 @@ class SlamEngine:
                 np.asarray(rec.visible), np.asarray(rec.z),
                 np.asarray(rec.matched))
             self._sink.write(frame)
+        if self._debug_sink is not None:
+            from openekfmonoslam_tpu.viz.draw import draw_ransac_debug
+            frame = draw_ransac_debug(
+                gray_np, np.asarray(rec.z), np.asarray(rec.matched),
+                np.asarray(rec.inliers), np.asarray(rec.new_uv),
+                np.asarray(rec.new_ok))
+            self._debug_sink.write(frame)
         return record
 
     def _take_keyframe(self, gray_np: np.ndarray) -> None:
@@ -379,6 +393,9 @@ class SlamEngine:
         if self._sink is not None:
             self._sink.close()
             self._sink = None
+        if self._debug_sink is not None:
+            self._debug_sink.close()
+            self._debug_sink = None
         self.write_output_yml()
 
 

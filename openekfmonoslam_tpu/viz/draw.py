@@ -57,6 +57,32 @@ def draw_prediction_overlay(gray: np.ndarray, pred_uv: np.ndarray,
     return img
 
 
+def draw_ransac_debug(gray: np.ndarray, z: np.ndarray,
+                      matched: np.ndarray, inliers: np.ndarray,
+                      new_uv: Optional[np.ndarray] = None,
+                      new_ok: Optional[np.ndarray] = None) -> np.ndarray:
+    """RANSAC + new-feature debug overlay: the DEBUG_SHOW_RANSAC_INFO /
+    DEBUG_SHOW_NEW_FEATURES windows (EKF.cpp:198-222,542-544; Draw.h),
+    rendered headlessly.  Accepted matches (LI + rescued HI) green,
+    RANSAC-rejected outliers red, newly initialized features blue."""
+    import cv2
+    img = cv2.cvtColor(gray, cv2.COLOR_GRAY2BGR)
+    for i in range(len(z)):
+        if not matched[i]:
+            continue
+        c = (int(round(z[i, 0])), int(round(z[i, 1])))
+        if inliers[i]:
+            cv2.circle(img, c, 4, (0, 200, 0), 1)
+        else:
+            cv2.drawMarker(img, c, (0, 0, 230), cv2.MARKER_TILTED_CROSS, 7)
+    if new_uv is not None and new_ok is not None:
+        for i in range(len(new_uv)):
+            if new_ok[i]:
+                c = (int(round(new_uv[i, 0])), int(round(new_uv[i, 1])))
+                cv2.drawMarker(img, c, (230, 120, 0), cv2.MARKER_DIAMOND, 7)
+    return img
+
+
 def draw_planar_trajectory(positions: np.ndarray, size: int = 600,
                            axes=(0, 2)) -> np.ndarray:
     """Top-down 2D trajectory image (drawPlanarInformation, Draw.cpp:96-148)."""

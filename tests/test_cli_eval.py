@@ -213,3 +213,31 @@ class TestViewer3D:
         import glob
         pngs = glob.glob(os.path.join(out, "map3d_*.png"))
         assert len(pngs) >= 2, pngs
+
+
+class TestRansacDebugOverlay:
+    def test_draw_ransac_debug(self):
+        pytest.importorskip("cv2")
+        from openekfmonoslam_tpu.viz.draw import draw_ransac_debug
+        gray = np.zeros((60, 80), np.uint8)
+        z = np.array([[10.0, 10.0], [30.0, 20.0], [50.0, 40.0]])
+        matched = np.array([True, True, False])
+        inliers = np.array([True, False, False])
+        new_uv = np.array([[70.0, 50.0]])
+        img = draw_ransac_debug(gray, z, matched, inliers,
+                                new_uv, np.array([True]))
+        assert img.shape == (60, 80, 3)
+        # green inlier ring, red outlier cross, blue new-feature diamond
+        assert img[:, :, 1].max() > 150 and img[:, :, 2].max() > 150
+        assert img[:, :, 0].max() > 150
+
+    def test_cli_render_debug_channel(self, frame_dir, config_file,
+                                      tmp_path):
+        pytest.importorskip("cv2")
+        from openekfmonoslam_tpu.cli import main
+        out = str(tmp_path / "outdbg")
+        main([config_file, frame_dir, out, "--begin", "1", "--end", "6",
+              "--max-features", "16", "--progress", "0", "--render-debug"])
+        import glob
+        pngs = glob.glob(os.path.join(out, "debug", "*.png"))
+        assert len(pngs) == 5, pngs
