@@ -46,6 +46,42 @@ def extract_patches(smoothed: jnp.ndarray, yx: jnp.ndarray,
     return v / n
 
 
+def extract_patches_bilinear(smoothed: jnp.ndarray, yx: jnp.ndarray,
+                             radius: int) -> jnp.ndarray:
+    """(K, (2r+1)^2) zero-mean unit-norm patches at SUBPIXEL centers.
+
+    Bilinear resampling centers the template exactly on the matched
+    subpixel position.  extract_patches rounds to the nearest integer
+    pixel, which plants a systematic <=0.5 px offset into the template:
+    every later correlation peak inherits that offset as measurement
+    bias, and refresh-to-refresh the biases integrate into trajectory
+    drift.  Used for template refresh (matched positions are subpixel);
+    initialization keeps the integer path (detections are integer).
+    """
+    h, w = smoothed.shape
+    img = smoothed.astype(jnp.float32)
+    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    yf = yx[:, 0:1].astype(jnp.float32) + d[None, :]          # (K, P)
+    xf = yx[:, 1:2].astype(jnp.float32) + d[None, :]
+    y0 = jnp.clip(jnp.floor(yf), 0, h - 2).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor(xf), 0, w - 2).astype(jnp.int32)
+    ay = jnp.clip(yf - y0.astype(jnp.float32), 0.0, 1.0)      # (K, P)
+    ax = jnp.clip(xf - x0.astype(jnp.float32), 0.0, 1.0)
+
+    def corner(dy, dx):
+        return img[(y0 + dy)[:, :, None], (x0 + dx)[:, None, :]]
+
+    wy0, wy1 = (1.0 - ay)[:, :, None], ay[:, :, None]
+    wx0, wx1 = (1.0 - ax)[:, None, :], ax[:, None, :]
+    patch = (corner(0, 0) * wy0 * wx0 + corner(0, 1) * wy0 * wx1
+             + corner(1, 0) * wy1 * wx0 + corner(1, 1) * wy1 * wx1)
+    k = patch.shape[0]
+    v = patch.reshape(k, -1)
+    v = v - jnp.mean(v, axis=-1, keepdims=True)
+    n = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-12)
+    return v / n
+
+
 def ncc_match(smoothed: jnp.ndarray, pred_uv: jnp.ndarray,
               pred_S: jnp.ndarray, visible: jnp.ndarray,
               patches: jnp.ndarray, gate: float,
@@ -154,8 +190,8 @@ def ncc_match(smoothed: jnp.ndarray, pred_uv: jnp.ndarray,
     # accumulates sub-pixel template drift; keep the stored patch while it
     # still correlates strongly and only refresh when appearance has
     # genuinely changed (best NCC below ``refresh_below``).
-    zyx = jnp.stack([jnp.round(zy), jnp.round(zx)], -1).astype(jnp.int32)
-    new_patches = extract_patches(img, zyx, pr)
+    zyx = jnp.stack([zy, zx], -1)
+    new_patches = extract_patches_bilinear(img, zyx, pr)
     refresh = matched & (best_ncc < refresh_below)
     desc = jnp.where(refresh[:, None], new_patches, patches)
 

@@ -107,3 +107,31 @@ class TestEngineNcc:
         cfg = SlamConfig(matcher="ncc")  # BRIEF descriptors
         with pytest.raises(ValueError, match="PATCH"):
             SlamRuntime(cfg)
+
+
+class TestBilinearPatches:
+    def test_integer_positions_match_integer_path(self):
+        from openekfmonoslam_tpu.vision.ncc import (extract_patches,
+                                                    extract_patches_bilinear)
+        rng = np.random.default_rng(3)
+        img = jnp.asarray(rng.uniform(0, 255, (64, 64)).astype(np.float32))
+        yx_i = np.array([[20, 20], [30, 41], [10, 50]], np.int32)
+        a = np.asarray(extract_patches(img, jnp.asarray(yx_i), 4))
+        b = np.asarray(extract_patches_bilinear(
+            img, jnp.asarray(yx_i, jnp.float32), 4))
+        np.testing.assert_allclose(a, b, atol=1e-5)
+
+    def test_subpixel_interpolates_linear_ramp(self):
+        from openekfmonoslam_tpu.vision.ncc import extract_patches_bilinear
+        # on a plane f(y, x) = 2y + 3x the bilinear sample is exact, so a
+        # half-pixel shifted patch is the integer patch plus the gradient
+        y, x = np.mgrid[0:64, 0:64]
+        img = jnp.asarray((2.0 * y + 3.0 * x).astype(np.float32))
+        p0 = extract_patches_bilinear(
+            img, jnp.asarray([[20.0, 20.0]]), 3)
+        p1 = extract_patches_bilinear(
+            img, jnp.asarray([[20.5, 20.25]]), 3)
+        # zero-mean unit-norm patches of a plane are identical regardless
+        # of the constant offset the shift adds
+        np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
+                                   atol=1e-5)

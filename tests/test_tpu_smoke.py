@@ -24,19 +24,32 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 N_FRAMES = 6
 
 
-def _run_child(platform_env):
+def _run_child(platform):
+    """Run the child pinned to ``platform`` (None = environment default,
+    i.e. the tunneled TPU under the harness).  The platform is passed as
+    argv and pinned in-process (a JAX_PLATFORMS env var can be overridden
+    by the harness sitecustomize).  The tunneled TPU client intermittently
+    hangs at startup, so device children get a deadline and one retry
+    instead of a single long timeout."""
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)
-    if platform_env:
-        env["JAX_PLATFORMS"] = platform_env
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
-    out = subprocess.run(
-        [sys.executable, CHILD, str(N_FRAMES)], env=env, cwd=REPO,
-        capture_output=True, text=True, timeout=900)
-    if out.returncode != 0:
-        return None, out.stderr[-2000:]
-    line = out.stdout.strip().splitlines()[-1]
-    return json.loads(line), None
+    argv = [sys.executable, CHILD, str(N_FRAMES), platform or ""]
+    attempts, timeout = (2, 420) if platform is None else (1, 900)
+    err = None
+    for _ in range(attempts):
+        try:
+            out = subprocess.run(argv, env=env, cwd=REPO,
+                                 capture_output=True, text=True,
+                                 timeout=timeout)
+        except subprocess.TimeoutExpired:
+            err = f"child timed out after {timeout}s (tunnel hang?)"
+            continue
+        if out.returncode != 0:
+            return None, out.stderr[-2000:]
+        line = out.stdout.strip().splitlines()[-1]
+        return json.loads(line), None
+    return None, err
 
 
 @pytest.mark.tpu

@@ -11,6 +11,11 @@ import sys
 
 import jax
 
+# in-process platform pin: the harness sitecustomize can override a
+# JAX_PLATFORMS env var, so argv — not env — selects the backend here
+if len(sys.argv) > 2 and sys.argv[2]:
+    jax.config.update("jax_platforms", sys.argv[2])
+
 jax.config.update("jax_compilation_cache_dir", ".jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
