@@ -68,17 +68,22 @@ def main():
     st, _ = scan_fn(state0, chunks[0])
     jax.block_until_ready(st.x)
 
-    # timed run over all chunks
-    t0 = time.perf_counter()
-    st = state0
-    last = None
-    for c in chunks:
-        st, rec = scan_fn(st, c)
-        last = rec
-    jax.block_until_ready(st.x)
-    dt = time.perf_counter() - t0
-
+    # median of REPEATS timed passes over the whole sequence: the tunneled
+    # chip shows +-20% run-to-run variance, a single pass is not a number
+    # (VERDICT r2 weak #4)
+    REPEATS = 7
     n_done = n_chunks * CHUNK
+    times, last = [], None
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        st = state0
+        for c in chunks:
+            st, rec = scan_fn(st, c)
+            last = rec
+        jax.block_until_ready(st.x)
+        times.append(time.perf_counter() - t0)
+
+    dt = float(np.median(times))
     fps = n_done / dt
     matches = float(np.mean(np.asarray(last.total_matches)))
 
@@ -89,7 +94,10 @@ def main():
         "vs_baseline": round(fps / BASELINE_FPS, 2),
         "detail": {
             "frames": n_done,
-            "seconds": round(dt, 3),
+            "seconds_median": round(dt, 3),
+            "repeats": REPEATS,
+            "fps_min": round(n_done / max(times), 2),
+            "fps_max": round(n_done / min(times), 2),
             "mean_matches_last_chunk": round(matches, 1),
             "state_dim": cfg.state_dim,
             "baseline_fps": BASELINE_FPS,

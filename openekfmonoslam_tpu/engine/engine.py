@@ -230,8 +230,8 @@ class SlamEngine:
                 f"{record['li_inliers']}+{record['hi_inliers']} "
                 f"map {record['n_active']}\n")
         if self._map3d is not None:
-            traj = np.asarray([r["position"] for r in self.records]
-                              + [record["position"]])
+            # self.records already ends with this frame's record
+            traj = np.asarray([r["position"] for r in self.records])
             self._map3d.maybe_write(self.frame_index, self.state, traj)
         if self._sink is not None:
             from openekfmonoslam_tpu.viz.draw import draw_prediction_overlay

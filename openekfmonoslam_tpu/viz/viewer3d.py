@@ -48,12 +48,14 @@ def render_map3d(landmarks: np.ndarray, active: np.ndarray,
     1-sigma used to size the points.  The default view looks down the
     world -y axis (the s3 rig's "up"), matching the planar viz.
     """
-    import matplotlib
+    # Render on an explicit Agg canvas instead of switching the global
+    # pyplot backend: interactive callers keep whatever backend they had.
+    from matplotlib.backends.backend_agg import FigureCanvasAgg
+    from matplotlib.figure import Figure
+    import mpl_toolkits.mplot3d  # noqa: F401  (registers the 3d projection)
 
-    matplotlib.use("Agg")
-    import matplotlib.pyplot as plt
-
-    fig = plt.figure(figsize=(size_px / 100.0, size_px / 100.0), dpi=100)
+    fig = Figure(figsize=(size_px / 100.0, size_px / 100.0), dpi=100)
+    FigureCanvasAgg(fig)
     ax = fig.add_subplot(111, projection="3d")
 
     act = np.asarray(active, bool)
@@ -96,21 +98,46 @@ def render_map3d(landmarks: np.ndarray, active: np.ndarray,
     fig.tight_layout(pad=0.2)
     fig.canvas.draw()
     img = np.asarray(fig.canvas.buffer_rgba())[..., :3].copy()
-    plt.close(fig)
     return img
 
 
 def snapshot_from_state(state, quaternion_mod, landmark_world_xyz):
     """Pull (landmarks, active, is_xyz, cam_r, cam_R, sigma) off a
-    SlamState (host transfer happens here, once per rendered view)."""
+    SlamState (host transfer happens here, once per rendered view).
+
+    Marker sizes reflect the full point-estimate uncertainty: for
+    inverse-depth slots the 6x6 slot covariance is pushed through the
+    Jacobian of p = anchor + m(theta, phi)/rho (so depth/bearing variance
+    shows up, not just anchor variance); XYZ slots use their position
+    block directly."""
     lm = np.asarray(landmark_world_xyz(state))
     act = np.asarray(state.active)
-    sig = None
     P = np.asarray(state.P)
+    feats = np.asarray(state.features)
     from openekfmonoslam_tpu.filter.state import CAM_DIM, FEAT_DIM
     f = lm.shape[0]
-    idx = CAM_DIM + FEAT_DIM * np.arange(f)
-    var = np.stack([P[idx + k, idx + k] for k in range(3)], -1)
+    theta, phi, rho = feats[:, 3], feats[:, 4], feats[:, 5]
+    rho_s = np.where(np.abs(rho) < 1e-12, 1e-12, rho)
+    cth, sth = np.cos(theta), np.sin(theta)
+    cph, sph = np.cos(phi), np.sin(phi)
+    m = np.stack([cph * sth, -sph, cph * cth], -1)                 # (F, 3)
+    dm_dth = np.stack([cph * cth, np.zeros(f), -cph * sth], -1)
+    dm_dph = np.stack([-sph * sth, -cph, -sph * cth], -1)
+    # J (F, 3, 6): [I3 | dm/dtheta / rho | dm/dphi / rho | -m / rho^2]
+    J = np.zeros((f, 3, FEAT_DIM))
+    J[:, :, :3] = np.eye(3)
+    J[:, :, 3] = dm_dth / rho_s[:, None]
+    J[:, :, 4] = dm_dph / rho_s[:, None]
+    J[:, :, 5] = -m / (rho_s ** 2)[:, None]
+    var = np.empty((f, 3))
+    is_xyz_np = np.asarray(state.is_xyz, bool)
+    for i in range(f):
+        b = CAM_DIM + FEAT_DIM * i
+        blk = P[b:b + FEAT_DIM, b:b + FEAT_DIM]
+        if is_xyz_np[i]:
+            var[i] = np.diag(blk)[:3]
+        else:
+            var[i] = np.diag(J[i] @ blk @ J[i].T)
     sig = np.sqrt(np.maximum(var, 0.0)).mean(-1)
     cam_r = np.asarray(state.r)
     cam_R = np.asarray(quaternion_mod.to_rotation_matrix(state.q))
@@ -139,11 +166,9 @@ class Map3DSink:
         img = render_map3d(lm, act, is_xyz, np.asarray(trajectory), r, R,
                            sigma=sig)
         path = os.path.join(self.output_path, f"map3d_{frame_idx:05d}.png")
-        # imsave avoids a cv2 dependency for this channel
-        import matplotlib
+        # matplotlib.image.imsave avoids a cv2 dependency and never
+        # touches the pyplot backend
+        from matplotlib.image import imsave
 
-        matplotlib.use("Agg")
-        import matplotlib.pyplot as plt
-
-        plt.imsave(path, img)
+        imsave(path, img)
         return path
