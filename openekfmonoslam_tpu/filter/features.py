@@ -128,12 +128,22 @@ def add_features(state: SlamState, camera: Camera, config: SlamConfig,
                    jnp.arange(FEAT_DIM)[None, :, None],
                    dim_idx[:, None, :]].set(diag)
 
-    # all scatters below drop updates at the OOB indices of invalid
-    # candidates automatically
+    # P rows/cols are placed by an inverse index map + gather instead of a
+    # scatter along the (possibly row-sharded) leading dim: each state dim
+    # looks up which candidate row writes it (K = none; the invalid
+    # candidates' sentinel N lands in the truncated extra bucket).
+    # Bit-exact to the scatter -- indices are unique -- and partitions
+    # with zero full-P communication (filter/shardable.py rationale).
     flat_idx = dim_idx.reshape(-1)                        # (C*6,)
     flat_rows = rows.reshape(C * FEAT_DIM, N)
-    P_new = P.at[flat_idx, :].set(flat_rows)
-    P_new = P_new.at[:, flat_idx].set(flat_rows.T)
+    K = C * FEAT_DIM
+    idx_map = jnp.full((N + 1,), K, jnp.int32).at[flat_idx].set(
+        jnp.arange(K, dtype=jnp.int32))[:N]
+    wrote = idx_map < K                                   # (N,)
+    A_ext = jnp.concatenate([flat_rows, jnp.zeros((1, N), dtype)], axis=0)
+    P_new = jnp.where(wrote[:, None], A_ext[idx_map, :], P)
+    AT_ext = jnp.concatenate([flat_rows.T, jnp.zeros((N, 1), dtype)], axis=1)
+    P_new = jnp.where(wrote[None, :], AT_ext[:, idx_map], P_new)
 
     x_new = state.x.at[flat_idx].set(feats.reshape(-1))
     zeros_c = jnp.zeros((C,), jnp.int32)

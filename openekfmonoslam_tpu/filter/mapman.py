@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from openekfmonoslam_tpu.core import quaternion as quat
+from openekfmonoslam_tpu.filter import shardable
 from openekfmonoslam_tpu.filter.state import (
     CAM_DIM,
     FEAT_DIM,
@@ -131,22 +132,29 @@ def convert_one_to_xyz(state: SlamState, threshold: float) -> SlamState:
         (-m / (rho_safe * rho_safe))[:, None],
     ], axis=1)                                      # (3, 6)
 
+    # The slot's rows/cols/block are extracted and re-placed through
+    # filter.shardable: a one-hot psum for the row strip and predicate
+    # selects for the writes, never a dynamic slice along P's (possibly
+    # row-sharded) leading dim -- bit-exact, zero full-P communication.
     P = state.P
     N = P.shape[0]
     off = (CAM_DIM + FEAT_DIM * slot).astype(jnp.int32)
-    rows6 = jax.lax.dynamic_slice(P, (off, jnp.int32(0)), (FEAT_DIM, N))
-    cols6 = jax.lax.dynamic_slice(P, (jnp.int32(0), off), (N, FEAT_DIM))
-    P66 = jax.lax.dynamic_slice(P, (off, off), (FEAT_DIM, FEAT_DIM))
+    rows6 = shardable.select_rows(P, off, FEAT_DIM)        # (6, N)
+    ocols = (jnp.arange(N)[:, None]
+             == (off + jnp.arange(FEAT_DIM))[None, :]).astype(dtype)
+    cols6 = P @ ocols                                      # (N, 6) local
+    P66 = jax.lax.dynamic_slice(rows6, (jnp.int32(0), off),
+                                (FEAT_DIM, FEAT_DIM))
 
     new_rows = jnp.zeros((FEAT_DIM, N), dtype=dtype).at[0:3].set(J @ rows6)
-    new_cols = jnp.zeros((N, FEAT_DIM), dtype=dtype).at[:, 0:3].set(
-        cols6 @ J.T)
+    new_cols = jnp.concatenate(
+        [cols6 @ J.T, jnp.zeros((N, FEAT_DIM - 3), dtype=dtype)], axis=1)
     new_block = jnp.zeros((FEAT_DIM, FEAT_DIM), dtype=dtype).at[0:3, 0:3].set(
         J @ P66 @ J.T)
 
-    P_new = jax.lax.dynamic_update_slice(P, new_rows, (off, jnp.int32(0)))
-    P_new = jax.lax.dynamic_update_slice(P_new, new_cols, (jnp.int32(0), off))
-    P_new = jax.lax.dynamic_update_slice(P_new, new_block, (off, off))
+    P_new = shardable.place_rows(P, new_rows, off)
+    P_new = shardable.place_cols(P_new, new_cols, off)
+    P_new = shardable.place_block(P_new, new_block, off, off)
 
     feat_new = jnp.concatenate([xyz, jnp.zeros((3,), dtype=dtype)])
     x_new = jax.lax.dynamic_update_slice(state.x, feat_new, (off,))

@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from openekfmonoslam_tpu.config import SlamConfig
 from openekfmonoslam_tpu.core import quaternion as quat
+from openekfmonoslam_tpu.filter import shardable
 from openekfmonoslam_tpu.filter.state import CAM_DIM, SlamState
 
 
@@ -60,11 +61,15 @@ def predict(state: SlamState, config: SlamConfig, dt: float = 1.0
     ang = (config.ekf.angular_accel_sd * dt) ** 2
     q_diag = jnp.asarray([lin] * 3 + [ang] * 3, dtype=dtype)
 
+    # Row/column placement goes through filter.shardable so the strip
+    # update never scatters along P's (possibly row-sharded) leading dim:
+    # bit-exact to .at[...].set, zero full-P communication under pjit.
     P = state.P
     top = F @ P[:CAM_DIM, :]                       # (13, N) strip
-    P = P.at[:CAM_DIM, :].set(top)
-    P = P.at[:, :CAM_DIM].set(P[:, :CAM_DIM] @ F.T)
-    P = P.at[:CAM_DIM, :CAM_DIM].add(G @ (q_diag[:, None] * G.T))
+    P = shardable.place_rows(P, top, 0)
+    P = shardable.place_cols(P, P[:, :CAM_DIM] @ F.T, 0)
+    Qc = G @ (q_diag[:, None] * G.T)               # (13, 13)
+    P = shardable.place_block(P, P[:CAM_DIM, :CAM_DIM] + Qc, 0, 0)
 
     x = state.x.at[:CAM_DIM].set(cam_new)
     return state._replace(x=x, P=P)

@@ -25,6 +25,7 @@ import jax.numpy as jnp
 from jax.scipy.linalg import cho_factor, cho_solve
 
 from openekfmonoslam_tpu.core import quaternion as quat
+from openekfmonoslam_tpu.filter import shardable
 from openekfmonoslam_tpu.filter.measure import Prediction, dense_H
 from openekfmonoslam_tpu.filter.state import CAM_DIM, FEAT_DIM, SlamState
 
@@ -99,8 +100,10 @@ def finalize_update(state: SlamState, applied: jnp.ndarray) -> SlamState:
     P = 0.5 * (state.P + state.P.T)
     q = state.x[3:7]
     Jq = quat.normalize_jacobian(q)
-    Pn = P.at[3:7, :].set(Jq @ P[3:7, :])
-    Pn = Pn.at[:, 3:7].set(Pn[:, 3:7] @ Jq.T)
+    # quaternion rows/cols placed via filter.shardable (no scatter along
+    # the sharded dim; bit-exact to the .at form)
+    Pn = shardable.place_rows(P, Jq @ P[3:7, :], 3)
+    Pn = shardable.place_cols(Pn, Pn[:, 3:7] @ Jq.T, 3)
     xn = state.x.at[3:7].set(q / jnp.linalg.norm(q))
 
     x = jnp.where(applied, xn, state.x)

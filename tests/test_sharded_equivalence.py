@@ -143,10 +143,39 @@ def test_sharded_step_collective_inventory(churn_cfg, frames):
     assert sum(counts.values()) > 0, counts
     n = churn_cfg.padded_state_dim
     # full-P all-gathers are the expensive ones (N^2 x 8 bytes each);
-    # measured 7/step at round 2 (the predict strip, S assembly, downdate,
-    # RANSAC gain, conversion and add paths each rebuild a replicated P
-    # view) -- tracked here so regressions in the sharding show up
+    # round 2 measured 7/step (predict strip, S assembly, downdate, RANSAC
+    # gain, conversion and add paths each rebuilt a replicated P view);
+    # round 3 rewrote every P row/col-surgery site through
+    # filter/shardable.py (iota-predicate placement + one-hot row psums,
+    # bit-exact) -- the step now runs with ZERO full-P gathers, locked here
     full_p_gathers = len(re.findall(
         rf"all-gather[^\n]*f64\[{n},{n}\]", hlo))
     print(f"full-P ({n}x{n}) all-gathers per step: {full_p_gathers}")
-    assert full_p_gathers <= 8, (full_p_gathers, counts)
+    assert full_p_gathers == 0, (full_p_gathers, counts)
+
+    # bytes-per-step communication model: sum each collective's payload
+    # (shape bytes; all-gather output counts full, all-reduce counts its
+    # operand, permute/all-to-all count per-device bytes).  The budget must
+    # scale with the small operands (strips, 2F-wide blocks), not N^2 --
+    # lock the total at far below one replicated-P rebuild.
+    dbytes = {"f64": 8, "f32": 4, "s32": 4, "u32": 4, "u8": 1, "pred": 1,
+              "bf16": 2, "f16": 2, "s64": 8, "u64": 8, "s8": 1, "s16": 2,
+              "u16": 2, "c64": 8, "c128": 16}
+    total = 0
+    for name in ("all-gather", "all-reduce", "collective-permute",
+                 "all-to-all", "reduce-scatter"):
+        for m in re.finditer(
+                rf"(\w+)\[([0-9,]*)\][^\n]*{name}\(", hlo):
+            ty, dims = m.group(1), m.group(2)
+            if ty not in dbytes:
+                continue
+            sz = 1
+            for d in dims.split(","):
+                if d:
+                    sz *= int(d)
+            total += sz * dbytes[ty]
+    full_p_bytes = n * n * 8
+    print(f"collective payload bytes/step: {total:,} "
+          f"({total / full_p_bytes:.2f} x one full-P rebuild; "
+          f"full P = {full_p_bytes:,} B)")
+    assert total < 4 * full_p_bytes, (total, full_p_bytes)
