@@ -185,6 +185,16 @@ class SlamConfig:
     matcher: str = "descriptor"
     ncc_search_radius: int = 10      # candidate-center half-window (px)
     ncc_min_corr: float = 0.8        # acceptance threshold on NCC
+    # Predict template appearance by the camera-motion-induced plane
+    # homography before correlating (Davison active search warp); cuts
+    # out-of-plane (z) drift of the NCC matcher.
+    ncc_warp: bool = True
+    # Lazy template refresh threshold: re-store the patch only when the
+    # best NCC drops below this (refreshing every frame integrates
+    # sub-pixel template drift into the trajectory; with the warp
+    # predicting appearance, templates stay valid longer -- 0.85 measured
+    # best on the s3 run, tools/eval_drift.py sweep).
+    ncc_refresh_below: float = 0.85
     # Quadratic subpixel refinement of matched measurements on the raw
     # corner-score map (the reference feeds integer keypoint positions to
     # the filter; set False for that behavior).

@@ -163,12 +163,24 @@ class SlamRuntime:
                 gray.shape, pred.uv, pred.S, pred.visible, self.gate)
             if cfg.matcher == "ncc":
                 # detection-free active search: correlate each landmark's
-                # stored patch over its gate region (vision/ncc.py)
+                # stored patch over its gate region (vision/ncc.py),
+                # optionally against homography-warped templates
+                corr_patches = None
+                if cfg.ncc_warp:
+                    cam = self.camera
+                    corr_patches = ncc.warp_templates(
+                        state.descriptors, state.patch_pose,
+                        state.features, state.is_xyz, state.x[:7],
+                        pred.uv, pred.visible,
+                        cam.fx, cam.fy, cam.cx, cam.cy,
+                        cfg.descriptor.patch_radius)
                 m = ncc.ncc_match(
                     aux["smoothed"], pred.uv, pred.S, pred.visible,
                     state.descriptors, self.gate,
                     cfg.descriptor.patch_radius,
-                    cfg.ncc_search_radius, cfg.ncc_min_corr)
+                    cfg.ncc_search_radius, cfg.ncc_min_corr,
+                    refresh_below=cfg.ncc_refresh_below,
+                    corr_patches=corr_patches)
             else:
                 kps = fast.detect_keypoints(
                     aux["score_nms"],
@@ -232,7 +244,7 @@ class SlamRuntime:
             h, w = aux["score_nms"].shape
 
             state = mapman.update_counters(state, pred.visible, inliers_all,
-                                           m.desc)
+                                           m.desc, m.refreshed)
 
             do_mm = jnp.logical_and(
                 ekf.map_management_frequency > 0,

@@ -147,6 +147,7 @@ def add_features(state: SlamState, camera: Camera, config: SlamConfig,
 
     x_new = state.x.at[flat_idx].set(feats.reshape(-1))
     zeros_c = jnp.zeros((C,), jnp.int32)
+    pose_rows = jnp.broadcast_to(cam7.astype(jnp.float32), (C, 7))
     return state._replace(
         x=x_new,
         P=P_new,
@@ -155,4 +156,5 @@ def add_features(state: SlamState, camera: Camera, config: SlamConfig,
         times_predicted=state.times_predicted.at[slots].set(zeros_c),
         times_matched=state.times_matched.at[slots].set(zeros_c),
         descriptors=state.descriptors.at[slots].set(cand_desc),
+        patch_pose=state.patch_pose.at[slots].set(pose_rows),
     )

@@ -32,15 +32,27 @@ from openekfmonoslam_tpu.filter.state import (
 
 
 def update_counters(state: SlamState, predicted: jnp.ndarray,
-                    inlier: jnp.ndarray, inlier_desc: jnp.ndarray
-                    ) -> SlamState:
-    """Counters + descriptor refresh (updateMapFeatures, MapManagement.cpp:74-113)."""
-    return state._replace(
+                    inlier: jnp.ndarray, inlier_desc: jnp.ndarray,
+                    refreshed: jnp.ndarray | None = None) -> SlamState:
+    """Counters + descriptor refresh (updateMapFeatures, MapManagement.cpp:74-113).
+
+    ``refreshed`` marks slots whose ``inlier_desc`` holds a NEW template
+    this frame (Matches.refreshed); their capture pose anchor
+    (state.patch_pose, the NCC warp reference) moves to the current
+    camera.  None keeps the stored poses (injected-replay path)."""
+    new = state._replace(
         times_predicted=state.times_predicted + predicted.astype(jnp.int32),
         times_matched=state.times_matched + inlier.astype(jnp.int32),
         descriptors=jnp.where(inlier[:, None], inlier_desc,
                               state.descriptors),
     )
+    if refreshed is not None:
+        take = (inlier & refreshed)[:, None]
+        pose_now = jnp.broadcast_to(state.x[:7].astype(jnp.float32),
+                                    state.patch_pose.shape)
+        new = new._replace(
+            patch_pose=jnp.where(take, pose_now, state.patch_pose))
+    return new
 
 
 def remove_features(state: SlamState, remove: jnp.ndarray) -> SlamState:

@@ -47,6 +47,9 @@ class SlamState(NamedTuple):
     times_predicted: jnp.ndarray  # (F,) int32
     times_matched: jnp.ndarray    # (F,) int32
     descriptors: jnp.ndarray     # (F, W) uint32 packed binary descriptors
+    patch_pose: jnp.ndarray      # (F, 7) f32 camera (r, q) at template
+    #                              capture -- the NCC active-search warp
+    #                              anchor (zero q = no template stored)
     rng: jnp.ndarray             # jax PRNG key
     frame: jnp.ndarray           # () int32 step counter (EKF._ekfSteps)
 
@@ -135,6 +138,7 @@ def make_initial_state(config: SlamConfig, dtype=jnp.float32) -> SlamState:
         times_predicted=jnp.zeros((f,), dtype=jnp.int32),
         times_matched=jnp.zeros((f,), dtype=jnp.int32),
         descriptors=jnp.zeros((f, desc_words), dtype=desc_dtype),
+        patch_pose=jnp.zeros((f, 7), dtype=jnp.float32),
         rng=jax.random.PRNGKey(config.seed),
         frame=jnp.int32(0),
     )

@@ -46,6 +46,7 @@ def state_shardings(mesh: Mesh, axis: str = "p") -> SlamState:
         times_predicted=rep,
         times_matched=rep,
         descriptors=rep,
+        patch_pose=rep,
         rng=rep,
         frame=rep,
     )

@@ -30,6 +30,8 @@ class Matches(NamedTuple):
     matched: jnp.ndarray    # (F,) bool
     desc: jnp.ndarray       # (F, W) matched keypoint descriptor
     distance: jnp.ndarray   # (F,) int32 Hamming distance (diagnostic)
+    refreshed: jnp.ndarray  # (F,) bool: desc holds a NEW template this
+    #                         frame (drives the patch_pose warp anchor)
 
 
 def _inv_2x2(S: jnp.ndarray) -> jnp.ndarray:
@@ -141,5 +143,8 @@ def match_predictions(pred_uv: jnp.ndarray, pred_S: jnp.ndarray,
     z = jnp.where(matched[:, None], kp_xy[best_idx].astype(dtype), 0.0)
     desc = jnp.where(matched[:, None], kp_desc[best_idx],
                      jnp.zeros_like(kp_desc[best_idx]))
+    # the descriptor path replaces the stored descriptor on every inlier
+    # (update_counters), so the capture-pose anchor refreshes with it
     return Matches(z=z, matched=matched, desc=desc,
-                   distance=jnp.where(matched, d1, BIG))
+                   distance=jnp.where(matched, d1, BIG),
+                   refreshed=matched)

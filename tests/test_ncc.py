@@ -135,3 +135,70 @@ class TestBilinearPatches:
         # of the constant offset the shift adds
         np.testing.assert_allclose(np.asarray(p0), np.asarray(p1),
                                    atol=1e-5)
+
+
+class TestWarpTemplates:
+    def test_zoom_warp_reconstructs_scaled_appearance(self):
+        """Camera translating toward a fronto-parallel textured plane: the
+        homography-warped stored template must match the current (zoomed)
+        appearance, where the unwarped template decorrelates."""
+        from openekfmonoslam_tpu.vision import ncc
+
+        rng = np.random.default_rng(0)
+        H, W = 240, 320
+        fx = fy = 200.0
+        cx, cy = 160.0, 120.0
+        pr = 6
+        tex = rng.normal(size=(61, 61)).astype(np.float32)
+        d0 = 2.0
+
+        def render(cam_z):
+            ys, xs = np.mgrid[0:H, 0:W].astype(np.float32)
+            Z = d0 - cam_z
+            px = (xs - cx) / fx * Z
+            py = (ys - cy) / fy * Z
+            tx = np.clip(px * fx / d0 + 30, 0, 59.999)
+            ty = np.clip(py * fy / d0 + 30, 0, 59.999)
+            x0, y0 = tx.astype(int), ty.astype(int)
+            ax, ay = tx - x0, ty - y0
+            return (tex[y0, x0] * (1 - ay) * (1 - ax)
+                    + tex[y0, np.minimum(x0 + 1, 60)] * (1 - ay) * ax
+                    + tex[np.minimum(y0 + 1, 60), x0] * ay * (1 - ax)
+                    + tex[np.minimum(y0 + 1, 60),
+                          np.minimum(x0 + 1, 60)] * ay * ax
+                    ).astype(np.float32)
+
+        img0, img1 = render(0.0), render(0.4)   # depth 2.0 -> 1.6 (1.25x)
+        feats = jnp.zeros((1, 6)).at[0, 0:3].set(
+            jnp.asarray([0.0, 0.0, d0]))
+        patch0 = ncc.extract_patches(jnp.asarray(img0),
+                                     jnp.asarray([[120, 160]]), pr)
+        pose0 = jnp.asarray([[0, 0, 0, 1, 0, 0, 0]], jnp.float32)
+        cam7 = jnp.asarray([0, 0, 0.4, 1, 0, 0, 0], jnp.float32)
+        warped = ncc.warp_templates(
+            patch0, pose0, feats, jnp.ones((1,), bool), cam7,
+            jnp.asarray([[160.0, 120.0]]), jnp.ones((1,), bool),
+            fx, fy, cx, cy, pr)
+        true1 = ncc.extract_patches(jnp.asarray(img1),
+                                    jnp.asarray([[120, 160]]), pr)
+        c_raw = float(jnp.sum(patch0[0] * true1[0]))
+        c_warp = float(jnp.sum(warped[0] * true1[0]))
+        assert c_warp > 0.98, c_warp
+        assert c_warp > c_raw + 0.5, (c_warp, c_raw)
+
+    def test_invalid_pose_falls_back_to_stored(self):
+        from openekfmonoslam_tpu.vision import ncc
+
+        rng = np.random.default_rng(1)
+        pr = 4
+        ps = 2 * pr + 1
+        patches = jnp.asarray(rng.normal(size=(3, ps * ps)).astype(
+            np.float32))
+        pose = jnp.zeros((3, 7), jnp.float32)      # q == 0: no template
+        feats = jnp.zeros((3, 6)).at[:, 2].set(2.0)
+        out = ncc.warp_templates(
+            patches, pose, feats, jnp.ones((3,), bool),
+            jnp.asarray([0, 0, 0.3, 1, 0, 0, 0], jnp.float32),
+            jnp.full((3, 2), 100.0), jnp.ones((3,), bool),
+            200.0, 200.0, 160.0, 120.0, pr)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(patches))

@@ -34,7 +34,11 @@ from openekfmonoslam_tpu.eval.trajectory import ate_rmse
 
 FRAMES_DIR = "/root/reference/experiments/s3/costado_recto1"
 CONFIG = "/root/reference/experiments/s3/config.yml"
-N_FRAMES = 121   # 1 init + 120 filter steps (VERDICT asks >= 100)
+# 1 init + 719 filter steps: the FULL bundled sequence (VERDICT round 2
+# asked parity to extend beyond the 120-frame prefix so long-horizon quirk
+# accumulation -- the unrotated-drho column dominates already at 120
+# frames -- shows up in the measured bound)
+N_FRAMES = 720
 
 pytestmark = pytest.mark.skipif(
     not os.path.isdir(FRAMES_DIR), reason="bundled s3 dataset not present")

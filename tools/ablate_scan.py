@@ -61,6 +61,7 @@ def make_variant(rt: SlamRuntime, skip: set):
                     z = m_z
                     matched = m_matched
                     desc = m_desc
+                    refreshed = m_matched
                 m = M()
                 aux = (rt.frontend.precompute(gray)
                        if "mapman" not in skip or "precompute" not in skip

@@ -28,6 +28,12 @@ from openekfmonoslam_tpu.io.sources import FileSequenceSource
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 240
     matcher = sys.argv[2] if len(sys.argv) > 2 else "descriptor"
+    # optional overrides: key=value pairs for SlamConfig fields
+    overrides = {}
+    for a in sys.argv[3:]:
+        k, v = a.split("=")
+        overrides[k] = (v == "True") if v in ("True", "False") else (
+            float(v) if "." in v else int(v))
 
     cfg = load_config("/root/reference/experiments/s3/config.yml")
     cfg = dataclasses.replace(cfg, max_features=auto_max_features(cfg.ekf))
@@ -35,6 +41,9 @@ def main():
         cfg = dataclasses.replace(
             cfg, matcher="ncc",
             descriptor=dataclasses.replace(cfg.descriptor, kind="PATCH"))
+    if overrides:
+        cfg = dataclasses.replace(cfg, **overrides)
+        print("overrides:", overrides)
     rt = SlamRuntime(cfg)
     frames = np.stack(list(FileSequenceSource(
         "/root/reference/experiments/s3/costado_recto1", 1, n)))

@@ -47,37 +47,82 @@ def churn_cfg():
                           SlamConfig().detector, threshold=12.0))
 
 
-def main():
-    cfg = churn_cfg()
+DBYTES = {"f64": 8, "f32": 4, "s32": 4, "u32": 4, "u8": 1, "pred": 1,
+          "bf16": 2, "f16": 2, "s64": 8, "u64": 8}
+
+
+def payload_bytes(hlo: str) -> dict:
+    """Collective payload accounting per collective kind (result shapes)."""
+    out = {}
+    for name in ("all-gather", "all-reduce", "collective-permute",
+                 "all-to-all", "reduce-scatter"):
+        total = count = 0
+        for m in re.finditer(rf"(\w+)\[([0-9,]*)\][^\n]*{name}\(", hlo):
+            ty, dims = m.group(1), m.group(2)
+            if ty not in DBYTES:
+                continue
+            sz = 1
+            for d in dims.split(","):
+                if d:
+                    sz *= int(d)
+            total += sz * DBYTES[ty]
+            count += 1
+        out[name] = (count, total)
+    return out
+
+
+def analyze(cfg, label, verbose=False):
     rt = SlamRuntime(cfg)
     mesh = make_mesh(jax.devices()[:8])
     state = shard_state(rt.make_initial_state(), mesh)
-    img = np.zeros((120, 160), np.uint8)
+    img = np.zeros((cfg.camera.pixels_y, cfg.camera.pixels_x), np.uint8)
     frame = jnp.asarray(img)
     step_fn = make_sharded_step(rt, mesh)
     compiled = step_fn.lower(state, frame).compile()
     hlo = compiled.as_text()
     n = cfg.padded_state_dim
 
-    # every all-gather line, with shape and metadata
-    gathers = []
-    for line in hlo.splitlines():
-        if "all-gather(" in line or "all-gather-start(" in line:
-            shape = re.search(r"(f64|f32|s32|pred|u8|u32)\[[0-9,]*\]", line)
-            meta = re.search(r'op_name="([^"]*)"', line)
-            src = re.search(r'source_file="([^"]*)".*source_line=(\d+)', line)
-            gathers.append((shape.group(0) if shape else "?",
-                            meta.group(1) if meta else "?",
-                            f"{src.group(1)}:{src.group(2)}" if src else "?"))
-    print(f"total all-gathers: {len(gathers)} (state dim {n})")
-    for s, m, src in gathers:
-        big = "  <-- FULL P" if f"[{n},{n}]" in s else ""
-        print(f"  {s:<22} {src:<60} {m[:110]}{big}")
+    full_p = len(re.findall(rf"all-gather[^\n]*f64\[{n},{n}\]", hlo))
+    pay = payload_bytes(hlo)
+    total = sum(v for _, v in pay.values())
+    print(f"[{label}] N={n}  full-P gathers={full_p}  "
+          f"collective payload={total:,} B "
+          f"({total / (n * n * 8):.2f} x one P rebuild)")
+    for k, (c, b) in sorted(pay.items(), key=lambda kv: -kv[1][1]):
+        print(f"    {k:<20} count={c:<5} bytes={b:,}")
 
-    for name in ("all-reduce", "reduce-scatter", "collective-permute",
-                 "all-to-all", "dynamic-slice(", "dynamic-update-slice("):
-        c = len(re.findall(rf"{re.escape(name)}", hlo))
-        print(f"{name}: {c}")
+    if verbose:
+        for line in hlo.splitlines():
+            if "all-gather(" in line or "all-gather-start(" in line:
+                shape = re.search(r"(f64|f32|s32|pred|u8|u32)\[[0-9,]*\]",
+                                  line)
+                meta = re.search(r'op_name="([^"]*)"', line)
+                s = shape.group(0) if shape else "?"
+                big = "  <-- FULL P" if f"[{n},{n}]" in s else ""
+                print(f"  {s:<22} {(meta.group(1) if meta else '?')[:110]}"
+                      f"{big}")
+    return n, total, full_p
+
+
+def main():
+    verbose = "-v" in sys.argv
+    small = churn_cfg()
+    # the bench-shaped config: 96 slots -> state 589 -> padded 640,
+    # 640x480 frames (the regime BASELINE's map-size scaling rows use)
+    big = dataclasses.replace(
+        small,
+        camera=dataclasses.replace(small.camera, pixels_x=640, pixels_y=480,
+                                   cx=320.0, cy=240.0),
+        max_features=96, max_keypoints=256)
+    rows = [analyze(small, "churn-small", verbose=verbose),
+            analyze(big, "bench-shaped", verbose=verbose)]
+    (n1, b1, _), (n2, b2, _) = rows
+    # scaling exponent of payload vs N: < 2 means the budget is NOT
+    # rebuilding P (which would scale as N^2)
+    import math
+    alpha = math.log(b2 / b1) / math.log(n2 / n1)
+    print(f"payload scaling: bytes ~ N^{alpha:.2f} "
+          f"(N^2 would mean replicated-P rebuilds)")
 
 
 if __name__ == "__main__":
