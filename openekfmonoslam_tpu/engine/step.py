@@ -265,13 +265,11 @@ class SlamRuntime:
             state = mapman.remove_features(state,
                                            unseen & pressure & do_mm)
 
-            # convert at most one inverse-depth feature to XYZ
-            state = jax.lax.cond(
-                do_mm,
-                lambda s: mapman.convert_one_to_xyz(
-                    s, ekf.inverse_depth_linearity_index_threshold),
-                lambda s: s,
-                state)
+            # convert at most one inverse-depth feature to XYZ (gated
+            # inline -- a lax.cond here costs ~36 un-fusable kernels)
+            state = mapman.convert_one_to_xyz(
+                state, ekf.inverse_depth_linearity_index_threshold,
+                enable=do_mm)
 
             # detect + add new features away from the frame-start ellipses
             out_mask = ~in_ellipse & self._border_mask((h, w))
@@ -409,12 +407,9 @@ class SlamRuntime:
             unseen = state.active & ~pred.visible
             state = mapman.remove_features(state, unseen & pressure & do_mm)
 
-            state = jax.lax.cond(
-                do_mm,
-                lambda s: mapman.convert_one_to_xyz(
-                    s, ekf.inverse_depth_linearity_index_threshold),
-                lambda s: s,
-                state)
+            state = mapman.convert_one_to_xyz(
+                state, ekf.inverse_depth_linearity_index_threshold,
+                enable=do_mm)
 
             C = cfg.max_features
             if new_uv is not None:

@@ -90,6 +90,29 @@ def add_features(state: SlamState, camera: Camera, config: SlamConfig,
     cam7 = state.x[:7]
     rho0 = jnp.asarray(ekf.init_inv_depth_rho, dtype=dtype)
 
+    # Steady-state tracking frames add nothing, but the init-Jacobian
+    # vmapped chain + covariance einsums below cost ~100 us: branch the
+    # WHOLE addition (Jacobians, covariance growth, state scatters) on
+    # whether any candidate actually landed.  Identical math: with ok all
+    # False every write below is a no-op.
+    def _do_add(state):
+        return _add_features_impl(state, camera, config, cand_uv, cand_desc,
+                                  slots, ok)
+
+    return jax.lax.cond(jnp.any(ok), _do_add, lambda s: s, state)
+
+
+def _add_features_impl(state: SlamState, camera: Camera, config: SlamConfig,
+                       cand_uv: jnp.ndarray, cand_desc: jnp.ndarray,
+                       slots: jnp.ndarray, ok: jnp.ndarray) -> SlamState:
+    dtype = state.P.dtype
+    C = cand_uv.shape[0]
+    N = state.P.shape[0]
+    ekf = config.ekf
+    camcal = config.camera
+    cam7 = state.x[:7]
+    rho0 = jnp.asarray(ekf.init_inv_depth_rho, dtype=dtype)
+
     def feat_and_jacs(uv):
         uv_rho = jnp.concatenate([uv, rho0[None]])
         f = init_feature(camera, cam7, uv_rho)
@@ -141,9 +164,10 @@ def add_features(state: SlamState, camera: Camera, config: SlamConfig,
         jnp.arange(K, dtype=jnp.int32))[:N]
     wrote = idx_map < K                                   # (N,)
     A_ext = jnp.concatenate([flat_rows, jnp.zeros((1, N), dtype)], axis=0)
-    P_new = jnp.where(wrote[:, None], A_ext[idx_map, :], P)
     AT_ext = jnp.concatenate([flat_rows.T, jnp.zeros((N, 1), dtype)], axis=1)
-    P_new = jnp.where(wrote[None, :], AT_ext[:, idx_map], P_new)
+
+    Pn = jnp.where(wrote[:, None], A_ext[idx_map, :], P)
+    P_new = jnp.where(wrote[None, :], AT_ext[:, idx_map], Pn)
 
     x_new = state.x.at[flat_idx].set(feats.reshape(-1))
     zeros_c = jnp.zeros((C,), jnp.int32)

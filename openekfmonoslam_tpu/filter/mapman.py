@@ -110,7 +110,8 @@ def linearity_index(state: SlamState) -> jnp.ndarray:
     return jnp.where(eligible, li, jnp.inf)
 
 
-def convert_one_to_xyz(state: SlamState, threshold: float) -> SlamState:
+def convert_one_to_xyz(state: SlamState, threshold: float,
+                       enable=True) -> SlamState:
     """Convert the first eligible slot with linearity index below threshold
     (convertMapFeaturesInverseDepthToDepth, MapManagement.cpp:494-523: at
     most one conversion per frame).
@@ -119,12 +120,26 @@ def convert_one_to_xyz(state: SlamState, threshold: float) -> SlamState:
     Jacobian J = [I | dm/dtheta / rho | dm/dphi / rho | -m / rho^2]
     (convertToDepth, MapManagement.cpp:343-385); the slot's last 3 dims are
     retired (zero P rows/cols).
+
+    ``enable`` gates the conversion (the map-management frequency gate);
+    the cheap eligibility scan always runs, the P surgery is branched on
+    the (rare) trigger below.
     """
     li = linearity_index(state)
     below = li < threshold
     slot = jnp.argmax(below)                       # first True in slot order
-    do = jnp.any(below)
+    do = jnp.any(below) & jnp.asarray(enable)
+    # conversions are rare (<=1 slot, only when the linearity index dips):
+    # branch the P/x surgery on ``do`` so non-converting frames skip the
+    # ~5 full-P traffic passes below (the cheap eligibility scan above
+    # runs every frame)
+    return jax.lax.cond(
+        do, lambda st: _convert_slot(st, slot), lambda st: st, state)
 
+
+def _convert_slot(state: SlamState, slot: jnp.ndarray) -> SlamState:
+
+    dtype = state.P.dtype
     feats = state.features
     f = feats[slot]
     theta, phi, rho = f[3], f[4], f[5]
@@ -132,7 +147,6 @@ def convert_one_to_xyz(state: SlamState, threshold: float) -> SlamState:
     m = quat.directional_vector(theta, phi)
     xyz = f[0:3] + m / rho_safe
 
-    dtype = state.P.dtype
     cp, sp = jnp.cos(phi), jnp.sin(phi)
     ct, st_ = jnp.cos(theta), jnp.sin(theta)
     dm_dtheta = jnp.stack([cp * ct, jnp.zeros_like(cp), -cp * st_])
@@ -172,9 +186,9 @@ def convert_one_to_xyz(state: SlamState, threshold: float) -> SlamState:
     x_new = jax.lax.dynamic_update_slice(state.x, feat_new, (off,))
 
     return state._replace(
-        x=jnp.where(do, x_new, state.x),
-        P=jnp.where(do, P_new, state.P),
-        is_xyz=state.is_xyz.at[slot].set(do | state.is_xyz[slot]),
+        x=x_new,
+        P=P_new,
+        is_xyz=state.is_xyz.at[slot].set(True),
     )
 
 

@@ -85,26 +85,41 @@ def _measure_with_jac(camera, cam7, feat, is_xyz):
     return uv, J[:, :7], J[:, 7:]
 
 
-def predict_measurements(state: SlamState, camera: Camera) -> Prediction:
+def predict_measurements(state: SlamState, camera: Camera,
+                         analytic: bool = True) -> Prediction:
     """Vectorized h + H + S for every slot (predictCameraMeasurements,
-    MeasurementPrediction.cpp:705-719)."""
+    MeasurementPrediction.cpp:705-719).
+
+    ``analytic`` selects the structure-of-arrays hand-chain Jacobians
+    (filter/measure_fast.py) -- the same derivative as the jacfwd path
+    below (locked elementwise by tests/test_measure_fast.py) compiled to
+    ~10x fewer kernels; False keeps vmapped jacfwd (the independent
+    implementation the equivalence test checks against).
+    """
     F = state.n_features
     dtype = state.P.dtype
     cam7 = state.x[:7]
     feats = state.features                       # (F, 6)
 
-    # --- h and Jacobians, vmapped over slots ---
-    uv, Hc7, Hf = jax.vmap(
-        lambda f, xyz: _measure_with_jac(camera, cam7, f, xyz)
-    )(feats, state.is_xyz)
+    if analytic:
+        from openekfmonoslam_tpu.filter import measure_fast
+        uv, Hc7, Hf = measure_fast.measurements_with_jacobians(
+            camera, cam7, feats, state.is_xyz)
+        visible = measure_fast.visibility(
+            camera, cam7, feats, state.is_xyz, state.active, uv)
+    else:
+        # --- h and Jacobians, vmapped over slots ---
+        uv, Hc7, Hf = jax.vmap(
+            lambda f, xyz: _measure_with_jac(camera, cam7, f, xyz)
+        )(feats, state.is_xyz)
 
-    # --- visibility gate ---
-    p_cam = jax.vmap(
-        lambda f, xyz: point_in_camera_frame(cam7, f, xyz)
-    )(feats, state.is_xyz)
-    visible = (state.active
-               & cam_mod.in_front_and_in_fov(camera, p_cam)
-               & cam_mod.in_image(camera, uv))
+        # --- visibility gate ---
+        p_cam = jax.vmap(
+            lambda f, xyz: point_in_camera_frame(cam7, f, xyz)
+        )(feats, state.is_xyz)
+        visible = (state.active
+                   & cam_mod.in_front_and_in_fov(camera, p_cam)
+                   & cam_mod.in_image(camera, uv))
 
     vis = visible[:, None, None].astype(dtype)
     Hc = jnp.concatenate(
@@ -135,9 +150,15 @@ def innovation_covariances(P: jnp.ndarray, Hc: jnp.ndarray, Hf: jnp.ndarray
     Pcc = P[:CAM_DIM, :CAM_DIM]
     Pcf = P[:CAM_DIM, CAM_DIM:end].reshape(CAM_DIM, F, FEAT_DIM)
     Pcf = jnp.moveaxis(Pcf, 1, 0)                        # (F, 13, 6)
-    Pff_all = P[CAM_DIM:end, CAM_DIM:end].reshape(F, FEAT_DIM, F, FEAT_DIM)
-    Pff = jnp.diagonal(Pff_all, axis1=0, axis2=2)        # (6, 6, F)
-    Pff = jnp.moveaxis(Pff, 2, 0)                        # (F, 6, 6)
+    # per-slot 6x6 diagonal blocks via a direct (F*36-element) gather --
+    # jnp.diagonal on the (F,6,F,6) view materializes a [6,6,F,F]
+    # transpose (~1.3 MB copied per call, the hottest single copy in the
+    # profiled step); the explicit index form touches only the 3456
+    # elements actually needed
+    off = CAM_DIM + FEAT_DIM * jnp.arange(F)
+    ridx = off[:, None, None] + jnp.arange(FEAT_DIM)[None, :, None]
+    cidx = off[:, None, None] + jnp.arange(FEAT_DIM)[None, None, :]
+    Pff = P[ridx, cidx]                                  # (F, 6, 6)
 
     S = (jnp.einsum("fic,cd,fjd->fij", Hc, Pcc, Hc)
          + jnp.einsum("fic,fcd,fjd->fij", Hc, Pcf, Hf)

@@ -28,11 +28,25 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _is_static(v) -> bool:
+    return isinstance(v, int)
+
+
 def place_rows(P: jnp.ndarray, rows: jnp.ndarray, start) -> jnp.ndarray:
     """P with rows[start : start+k, :] <- ``rows`` (k, N); ``start`` may be
-    traced.  Equal to lax.dynamic_update_slice(P, rows, (start, 0))."""
+    traced.  Equal to lax.dynamic_update_slice(P, rows, (start, 0)).
+
+    Static starts use zero-pad + select (XLA fuses the pad; the gather
+    form materialized a full (N, N) intermediate, ~30 us each on v5e);
+    traced starts (the rare conversion path) keep the gather.
+    """
     k = rows.shape[0]
-    i = jnp.arange(P.shape[0])
+    N = P.shape[0]
+    i = jnp.arange(N)
+    if _is_static(start):
+        ext = jnp.pad(rows, ((start, N - start - k), (0, 0)))
+        in_r = (i >= start) & (i < start + k)
+        return jnp.where(in_r[:, None], ext, P)
     start = jnp.asarray(start, i.dtype)
     in_r = (i >= start) & (i < start + k)
     ridx = jnp.clip(i - start, 0, k - 1)
@@ -42,7 +56,12 @@ def place_rows(P: jnp.ndarray, rows: jnp.ndarray, start) -> jnp.ndarray:
 def place_cols(P: jnp.ndarray, cols: jnp.ndarray, start) -> jnp.ndarray:
     """P with cols[:, start : start+k] <- ``cols`` (N, k)."""
     k = cols.shape[1]
-    j = jnp.arange(P.shape[1])
+    N = P.shape[1]
+    j = jnp.arange(N)
+    if _is_static(start):
+        ext = jnp.pad(cols, ((0, 0), (start, N - start - k)))
+        in_c = (j >= start) & (j < start + k)
+        return jnp.where(in_c[None, :], ext, P)
     start = jnp.asarray(start, j.dtype)
     in_c = (j >= start) & (j < start + k)
     cidx = jnp.clip(j - start, 0, k - 1)
@@ -54,6 +73,12 @@ def place_block(P: jnp.ndarray, blk: jnp.ndarray, r0, c0) -> jnp.ndarray:
     k = blk.shape[0]
     i = jnp.arange(P.shape[0])
     j = jnp.arange(P.shape[1])
+    if _is_static(r0) and _is_static(c0):
+        ext = jnp.pad(blk, ((r0, P.shape[0] - r0 - k),
+                            (c0, P.shape[1] - c0 - k)))
+        in_r = (i >= r0) & (i < r0 + k)
+        in_c = (j >= c0) & (j < c0 + k)
+        return jnp.where(in_r[:, None] & in_c[None, :], ext, P)
     r0 = jnp.asarray(r0, i.dtype)
     c0 = jnp.asarray(c0, j.dtype)
     in_r = (i >= r0) & (i < r0 + k)

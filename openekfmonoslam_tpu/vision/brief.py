@@ -196,7 +196,10 @@ def dense_descriptors_shared(smoothed: jnp.ndarray, points, pairs
             bit = views[i1] < views[i2]
             acc = acc | (bit.astype(jnp.uint32) << j)
         words.append(acc)
-    return jnp.stack(words)                       # (W8, H, W)
+    # a tuple, NOT jnp.stack: stacking 8 (H, W) uint32 planes is a ~30 us
+    # concatenate + per-plane relayout copies per frame; the per-word
+    # lookups below gather from each plane directly
+    return tuple(words)                           # W8 x (H, W)
 
 
 def extract_shared(smoothed: jnp.ndarray, yx: jnp.ndarray, points,
@@ -221,8 +224,11 @@ def extract_shared(smoothed: jnp.ndarray, yx: jnp.ndarray, points,
         axis=-1, dtype=jnp.uint32)
 
 
-def lookup_descriptors(planes: jnp.ndarray, yx: jnp.ndarray) -> jnp.ndarray:
-    """(W8, H, W) planes + (K, 2) keypoints -> (K, W8) packed descriptors."""
+def lookup_descriptors(planes, yx: jnp.ndarray) -> jnp.ndarray:
+    """W8-tuple of (H, W) planes + (K, 2) keypoints -> (K, W8) packed
+    descriptors (one small gather per word plane)."""
+    if isinstance(planes, (tuple, list)):
+        return jnp.stack([p[yx[:, 0], yx[:, 1]] for p in planes], axis=-1)
     return planes[:, yx[:, 0], yx[:, 1]].T
 
 

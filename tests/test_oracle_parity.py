@@ -109,10 +109,20 @@ def test_measured_ate_vs_reference_oracle(runtime, live_log, engine_traj,
     print(f"engine-vs-REFERENCE oracle: ATE {ate:.3e}, "
           f"max dev {dev.max():.3e}, path {path:.3f}, "
           f"collisions {oracle_reference.slot_collisions}")
-    # The quirks (jacobian slip, deadband, hand-chain distortion Jacobian,
-    # visit order) perturb the gains; the measured divergence stays below
-    # 1% of distance travelled on the bundled sequence.
-    assert ate < 0.01 * path, (ate, path)
+    # Full-sequence bound (719 steps): the reference's quirks accumulate
+    # super-linearly with horizon -- measured 2.22% of path, with the
+    # unrotated-drho column alone contributing 76% of the gap
+    # (runs/parity_full/summary.json; the engine matches the CORRECT-math
+    # oracle at 8e-14 over the same horizon, test above).  Locked at 3.5%.
+    assert ate < 0.035 * path, (ate, path)
+    # the short-horizon (120-frame) bound stays at the round-2 level:
+    # trajectories are causal, so the prefix equals a 120-frame run
+    k = 121
+    ate120 = ate_rmse(engine_traj[:k, 0:3], traj_c[:k, 0:3], align=False)
+    path120 = np.sum(np.linalg.norm(np.diff(traj_c[:k, 0:3], axis=0),
+                                    axis=1))
+    print(f"first-120 prefix: ATE {ate120:.3e} over path {path120:.3f}")
+    assert ate120 < 0.01 * path120, (ate120, path120)
 
 
 def test_quirk_contributions(runtime, live_log, oracle_reference):

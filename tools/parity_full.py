@@ -23,6 +23,11 @@ sys.path.insert(0, ".")
 
 import jax
 
+# parity is a float64 measurement: run on CPU (the tunneled TPU silently
+# computes f32, which diverges from the f64 NumPy oracle), like the
+# oracle-parity tests (tests/conftest.py pins the same)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", ".jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
