@@ -271,26 +271,43 @@ class SlamRuntime:
                 state, ekf.inverse_depth_linearity_index_threshold,
                 enable=do_mm)
 
-            # detect + add new features away from the frame-start ellipses
-            out_mask = ~in_ellipse & self._border_mask((h, w))
-            kps2 = fast.detect_keypoints(aux["score_nms"], out_mask,
-                                         cfg.max_keypoints)
-            kp2_xy = jnp.stack([kps2.yx[:, 1], kps2.yx[:, 0]],
-                               axis=-1).astype(jnp.float32)
-            picked = detect.select_zone_balanced(
-                kp2_xy, kps2.score, kps2.valid,
-                pred.uv.astype(jnp.float32), pred.visible,
-                jnp.maximum(needed, 0) * do_mm.astype(jnp.int32),
-                jnp.asarray(self.exclusion_radius, jnp.float32),
-                self.zones_in_a_row, w, h,
-                max_new=cfg.max_features)
-            new_desc = self.frontend.describe(aux, kps2.yx[picked.kp_index])
-            add_valid = picked.valid & do_mm & (needed > 0)
-            new_slot, new_ok = feat_mod.assign_slots(state.active, add_valid)
-            state = feat_mod.add_features(
-                state, self.camera, cfg, picked.uv.astype(self.dtype),
-                new_desc, add_valid)
-            return state, picked.uv.astype(self.dtype), new_ok, new_slot
+            # detect + add new features away from the frame-start ellipses.
+            # Tracking-healthy frames (matches >= MinMatchesPerImage, the
+            # common case) need no new features: the second top-K
+            # detection, the zone balancing, and the descriptor lookups
+            # are branched out entirely then (~50 us/frame).
+            def _detect_and_add(state):
+                out_mask = ~in_ellipse & self._border_mask((h, w))
+                kps2 = fast.detect_keypoints(aux["score_nms"], out_mask,
+                                             cfg.max_keypoints)
+                kp2_xy = jnp.stack([kps2.yx[:, 1], kps2.yx[:, 0]],
+                                   axis=-1).astype(jnp.float32)
+                picked = detect.select_zone_balanced(
+                    kp2_xy, kps2.score, kps2.valid,
+                    pred.uv.astype(jnp.float32), pred.visible,
+                    jnp.maximum(needed, 0),
+                    jnp.asarray(self.exclusion_radius, jnp.float32),
+                    self.zones_in_a_row, w, h,
+                    max_new=cfg.max_features)
+                new_desc = self.frontend.describe(aux,
+                                                  kps2.yx[picked.kp_index])
+                add_valid = picked.valid
+                new_slot, new_ok = feat_mod.assign_slots(state.active,
+                                                         add_valid)
+                state = feat_mod.add_features(
+                    state, self.camera, cfg, picked.uv.astype(self.dtype),
+                    new_desc, add_valid)
+                return state, picked.uv.astype(self.dtype), new_ok, new_slot
+
+            def _no_add(state):
+                C = cfg.max_features
+                return (state, jnp.zeros((C, 2), self.dtype),
+                        jnp.zeros((C,), bool),
+                        jnp.full((C,), cfg.max_features, jnp.int32))
+
+            state, new_uv, new_ok, new_slot = jax.lax.cond(
+                do_mm & (needed > 0), _detect_and_add, _no_add, state)
+            return state, new_uv, new_ok, new_slot
 
     def _step_impl(self, state: SlamState, gray: jnp.ndarray
                    ) -> tuple[SlamState, StepRecord]:
