@@ -177,6 +177,11 @@ class SlamConfig:
     # sequential scan (see filter/ransac.py).
     ransac_parity_visit: bool = False
     seed: int = 0
+    # TPU matmul pass count for the filter algebra: "high" = 3-pass bf16
+    # (~f32, default; measured drift-equivalent to 6-pass on the bundled
+    # s3 runs at ~4% more throughput), "highest" = 6-pass full f32.
+    # No effect on CPU or float64 runs.
+    matmul_precision: str = "high"
     # Guided-matching backend: "descriptor" = keypoint detection + gated
     # 2-NN descriptor matching (the reference's Matching.cpp pipeline);
     # "ncc" = detection-free patch correlation over the gate region

@@ -94,10 +94,12 @@ class SlamRuntime:
     def init_step(self, state: SlamState, gray: jnp.ndarray) -> SlamState:
         """EKF::init (EKF.cpp:170-237): detect MinMatchesPerImage features
         zone-balanced over the whole image and add them to the map."""
-        # TPU matmuls default to bf16 passes; the covariance algebra needs
-        # true f32 accumulation or P loses positive-definiteness within ~50
-        # frames.  FLOPs here are tiny, so run the whole step at highest.
-        with jax.default_matmul_precision("highest"):
+        # TPU matmuls default to single-pass bf16; the covariance algebra
+        # needs real f32 accumulation or P loses positive-definiteness
+        # within ~50 frames.  config.matmul_precision picks the pass
+        # count: "high" (3-pass, default -- measured drift-equivalent to
+        # 6-pass on the s3 run at ~4% more fps) or "highest" (6-pass).
+        with jax.default_matmul_precision(self.config.matmul_precision):
             return self._init_step_impl(state, gray)[0]
 
     def init_step_recorded(self, state: SlamState, gray: jnp.ndarray
@@ -105,7 +107,7 @@ class SlamRuntime:
                                       jnp.ndarray]:
         """init_step returning (state, uv, ok, slot) of the features added
         -- the bootstrap entry of the replay/oracle injection log."""
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(self.config.matmul_precision):
             return self._init_step_impl(state, gray)
 
     def _init_step_impl(self, state: SlamState, gray: jnp.ndarray):
@@ -136,7 +138,7 @@ class SlamRuntime:
     def step(self, state: SlamState, gray: jnp.ndarray
              ) -> tuple[SlamState, StepRecord]:
         """One full frame (EKF::step, EKF.cpp:242-666)."""
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(self.config.matmul_precision):
             return self._step_impl(state, gray)
 
     # -- the seven reference phases as separable jittable functions --
@@ -147,7 +149,7 @@ class SlamRuntime:
     def phase_predict(self, state: SlamState):
         """[1] predict + measurement prediction (the reference's
         'Prediction' bracket covers both, EKF.cpp:273-292)."""
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(self.config.matmul_precision):
             state = state._replace(frame=state.frame + 1)
             state = pred_mod.predict(state, self.config)
             pred = meas_mod.predict_measurements(state, self.camera)
@@ -156,7 +158,7 @@ class SlamRuntime:
     def phase_match(self, state: SlamState, pred, gray: jnp.ndarray):
         """[2] guided matching ('Matching', EKF.cpp:330-345): front-end
         precompute, gate-region mask, detection, gated 2-NN (or NCC)."""
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(self.config.matmul_precision):
             cfg = self.config
             aux = self.frontend.precompute(gray)
             in_ellipse = matching.ellipse_union_mask(
@@ -202,7 +204,7 @@ class SlamRuntime:
 
     def phase_ransac(self, state: SlamState, pred, m):
         """[3] 1-point RANSAC ('Ransac', EKF.cpp:400-417)."""
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(self.config.matmul_precision):
             cfg = self.config
             return ransac_mod.ransac(
                 state, pred, m.z, m.matched, self.camera,
@@ -213,14 +215,14 @@ class SlamRuntime:
 
     def phase_update_li(self, state: SlamState, pred, m, inliers):
         """[4] low-innovation joint update ('UpdateLI', EKF.cpp:423-437)."""
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(self.config.matmul_precision):
             return upd_mod.update(state, pred, m.z, inliers,
                                   self.config.camera.pixel_error_x)
 
     def phase_rescue(self, state: SlamState, m, outliers):
         """[5] re-predict + chi2 outlier rescue ('RescueOutliers',
         EKF.cpp:443-517)."""
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(self.config.matmul_precision):
             pred2 = meas_mod.predict_measurements(state, self.camera)
             rescued = ransac_mod.rescue_outliers(
                 pred2, m.z, outliers, self.config.ekf.ransac_chi2_threshold)
@@ -228,7 +230,7 @@ class SlamRuntime:
 
     def phase_update_hi(self, state: SlamState, pred2, m, rescued):
         """[6] high-innovation joint update ('UpdateHI', EKF.cpp:522-540)."""
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(self.config.matmul_precision):
             return upd_mod.update(state, pred2, m.z, rescued,
                                   self.config.camera.pixel_error_x)
 
@@ -238,7 +240,7 @@ class SlamRuntime:
         culls, conversion, new-feature detection + addition.
 
         Returns (state, new_uv, new_ok, new_slot)."""
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(self.config.matmul_precision):
             cfg = self.config
             ekf = cfg.ekf
             h, w = aux["score_nms"].shape
@@ -380,7 +382,7 @@ class SlamRuntime:
         ``z`` is (F, 2) measured pixels for ``matched`` slots; optional
         new-feature candidates are added afterwards.
         """
-        with jax.default_matmul_precision("highest"):
+        with jax.default_matmul_precision(self.config.matmul_precision):
             cfg = self.config
             ekf = cfg.ekf
             cam = self.camera

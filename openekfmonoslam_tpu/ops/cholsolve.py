@@ -1,13 +1,24 @@
 """Fused SPD solve X = S^-1 B as ONE Pallas TPU kernel.
 
-Why: the Kalman update's innovation solve (Update.cpp:92-109 computes
-S.inv() explicitly; we Cholesky-solve) is the largest kernel-count hot
-spot in the compiled step -- XLA's cholesky + triangular_solve lower to
-~56 small fusions (~120 us of pure launch latency for a 2.4 MFLOP
-factorization; tools/roofline.py shows the whole step is dispatch-bound,
-not FLOP-bound).  This kernel performs the blocked Cholesky
-factorization, the diagonal-block triangular inversions, and both
-triangular solves in a single pallas_call: everything lives in VMEM
+STATUS: built, numerically verified (1.9e-2 rel err at default MXU
+precision, 1.5e-6 in interpret mode), NOT wired into the engine -- the
+measured isolated cost on v5e is 293 us/solve vs 154 us for XLA's
+cholesky+triangular_solve at (192, 640): the two 64-step sequential
+factor/invert fori loops dominate (~0.7 us/step of VPU masked
+reductions).  Kept as the experiment log for BASELINE.md's solve-kernel
+row; the promising redesign is Newton-Schulz-exact triangular inversion
+(the NS error term is nilpotent for triangular operands, so ceil(log2(n))
+iterations of pure MXU matmuls invert EXACTLY) which removes every
+element-sequential loop except an 8x8 unrolled base case.
+
+Why it was attempted: the Kalman update's innovation solve
+(Update.cpp:92-109 computes S.inv() explicitly; we Cholesky-solve) is
+the largest custom-call block in the compiled step -- XLA's cholesky +
+triangular_solve lower to ~56 small fusions (~90-120 us of launch
+latency for a 2.4 MFLOP factorization; tools/roofline.py shows the step
+is dispatch-bound, not FLOP-bound).  This kernel performs the blocked
+Cholesky factorization, the diagonal-block triangular inversions, and
+both triangular solves in a single pallas_call: everything lives in VMEM
 (S is (M, M) <= 256x256 f32 = 256 KB; B is (M, N) <= 256x640 = 640 KB),
 the block-level algebra runs on the MXU, and only the 64-wide diagonal
 factor/invert loops are sequential VPU work.
