@@ -181,25 +181,33 @@ def dense_descriptors_shared(smoothed: jnp.ndarray, points, pairs
     pairs = np_.asarray(pairs)
     h, w = smoothed.shape
     half = int(np_.abs(points).max())
-    padded = jnp.pad(smoothed, half, mode="edge")
 
-    views = [jax.lax.slice(padded, (half + int(dy), half + int(dx)),
-                           (half + int(dy) + h, half + int(dx) + w))
+    # Planes cover only the interior (h-2*half, w-2*half): keypoints are
+    # border-masked at >= half+1 px anyway (Frontend.border), so the halo
+    # values were never consumed -- and the jnp.pad halo this used to
+    # build cost a catastrophic relayout under vmap (two ~900 us "output
+    # fusions" per batched frame at B=8).  Interior views are pure static
+    # slices of the unpadded image.  lookup_descriptors offsets by
+    # ``half``.
+    ih, iw = h - 2 * half, w - 2 * half
+    views = [jax.lax.slice(smoothed, (half + int(dy), half + int(dx)),
+                           (half + int(dy) + ih, half + int(dx) + iw))
              for dy, dx in points]
 
     n_bits = pairs.shape[0]
     words = []
     for wstart in range(0, n_bits, 32):
-        acc = jnp.zeros((h, w), jnp.uint32)
+        acc = jnp.zeros((ih, iw), jnp.uint32)
         for j in range(32):
             i1, i2 = int(pairs[wstart + j, 0]), int(pairs[wstart + j, 1])
             bit = views[i1] < views[i2]
             acc = acc | (bit.astype(jnp.uint32) << j)
         words.append(acc)
-    # a tuple, NOT jnp.stack: stacking 8 (H, W) uint32 planes is a ~30 us
-    # concatenate + per-plane relayout copies per frame; the per-word
-    # lookups below gather from each plane directly
-    return tuple(words)                           # W8 x (H, W)
+    # a tuple, NOT jnp.stack: stacking along a new minor axis of 8 pads
+    # every (8,128) tile 16x (measured 5x SLOWDOWN when tried for
+    # coalesced lookups), and a leading-axis stack costs a ~30 us
+    # concatenate; the per-word lookups gather from each plane directly
+    return tuple(words)                           # W8 x (ih, iw)
 
 
 def extract_shared(smoothed: jnp.ndarray, yx: jnp.ndarray, points,
@@ -224,11 +232,19 @@ def extract_shared(smoothed: jnp.ndarray, yx: jnp.ndarray, points,
         axis=-1, dtype=jnp.uint32)
 
 
-def lookup_descriptors(planes, yx: jnp.ndarray) -> jnp.ndarray:
-    """W8-tuple of (H, W) planes + (K, 2) keypoints -> (K, W8) packed
-    descriptors (one small gather per word plane)."""
+def lookup_descriptors(planes, yx: jnp.ndarray,
+                       margin: int = 0) -> jnp.ndarray:
+    """W8-tuple of interior planes + (K, 2) keypoints -> (K, W8) packed
+    descriptors (one small gather per word plane).
+
+    ``margin`` is the interior crop of dense_descriptors_shared (= the
+    pattern half-width); engine keypoints are border-masked beyond it, so
+    the clip below never actually alters a consumed coordinate."""
     if isinstance(planes, (tuple, list)):
-        return jnp.stack([p[yx[:, 0], yx[:, 1]] for p in planes], axis=-1)
+        ih, iw = planes[0].shape
+        y = jnp.clip(yx[:, 0] - margin, 0, ih - 1)
+        x = jnp.clip(yx[:, 1] - margin, 0, iw - 1)
+        return jnp.stack([p[y, x] for p in planes], axis=-1)
     return planes[:, yx[:, 0], yx[:, 1]].T
 
 

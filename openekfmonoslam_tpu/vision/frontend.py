@@ -54,6 +54,7 @@ class Frontend:
             # bit-plane pass by P=64 shifted views instead of 2*n_bits
             self._points_np, self._pairs_np = brief.make_shared_pattern(
                 desc.n_bits, desc.patch_size, desc.pattern_seed)
+            self._plane_margin = int(np.abs(self._points_np).max())
             self._pattern_np = None
             self.pattern = None
         elif self.desc_kind == "ORB":
@@ -124,7 +125,8 @@ class Frontend:
         """(K, 2) int32 keypoints -> (K, width) descriptors."""
         with jax.default_matmul_precision("default"):
             if self.desc_kind == "BRIEF":
-                return brief.lookup_descriptors(aux["planes"], yx)
+                return brief.lookup_descriptors(aux["planes"], yx,
+                                                self._plane_margin)
             if self.desc_kind == "ORB":
                 ang = orb_mod.angles_at(aux["m10"], aux["m01"], yx)
                 return orb_mod.steered_extract(

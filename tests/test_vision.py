@@ -107,7 +107,8 @@ class TestSharedBrief:
         points, pairs = brief.make_shared_pattern()
         planes = brief.dense_descriptors_shared(sm, points, pairs)
         yx = jnp.asarray([[40, 40], [30, 70], [70, 25]], jnp.int32)
-        d_dense = brief.lookup_descriptors(planes, yx)
+        d_dense = brief.lookup_descriptors(
+            planes, yx, margin=int(np.abs(points).max()))
         d_sparse = brief.extract_shared(sm, yx, points, pairs)
         np.testing.assert_array_equal(np.asarray(d_dense),
                                       np.asarray(d_sparse))

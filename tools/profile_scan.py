@@ -105,7 +105,8 @@ def main():
         planes = jax.jit(lambda g: brief.dense_descriptors_shared(
             brief.smooth(g, 2.0), rt.frontend._points_np,
             rt.frontend._pairs_np))(gray)
-        kp_desc = jax.jit(brief.lookup_descriptors)(planes, kps.yx)
+        kp_desc = jax.jit(lambda pl, yx: brief.lookup_descriptors(
+            pl, yx, margin=int(np.abs(rt.frontend._points_np).max())))(planes, kps.yx)
         kp_xy = jnp.stack([kps.yx[:, 1], kps.yx[:, 0]], -1).astype(
             jnp.float32)
         total += scan_time("match_predictions",
