@@ -18,6 +18,7 @@ Modes:
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import time
 
@@ -229,6 +230,12 @@ def main(argv=None):
         write_points3d(
             os.path.join(args.output, "cameraPositionsCorrected.m"),
             "cameraPositionsCorrected", corrected)
+        with open(os.path.join(args.output, "loop_closures.json"),
+                  "w") as f:
+            json.dump([{k: (v.tolist() if hasattr(v, "tolist")
+                            else float(v) if isinstance(v, float) else v)
+                        for k, v in c.items()}
+                       for c in engine.loop_closer.closures], f, indent=2)
         print(f"{len(engine.loop_closer.closures)} loop closure(s); "
               "corrected trajectory written")
     engine.close()
