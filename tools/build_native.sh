@@ -13,3 +13,12 @@ gcc -O2 -std=gnu11 native/examples/ekf_client_demo.c \
     -Lnative/lib -lekfclient -Wl,-rpath,'$ORIGIN/../lib' \
     -o native/lib/ekf_client_demo
 echo "built native/lib/ekf_client_demo"
+gcc -O2 -shared -fPIC -std=gnu11 native/ekf_embed.c \
+    $(python3-config --includes) \
+    -o native/lib/libekfembed.so $(python3-config --ldflags --embed)
+echo "built native/lib/libekfembed.so"
+gcc -O2 -std=gnu11 native/examples/ekf_embed_demo.c \
+    -Lnative/lib -lekfembed -Wl,-rpath,'$ORIGIN/../lib' \
+    $(python3-config --ldflags --embed) \
+    -o native/lib/ekf_embed_demo
+echo "built native/lib/ekf_embed_demo"
