@@ -42,12 +42,32 @@ from openekfmonoslam_tpu.eval.trajectory import ate_rmse
 from openekfmonoslam_tpu.io.sources import FileSequenceSource
 
 FRAMES_DIR = "/root/reference/experiments/s3/costado_recto1"
+VIDEO = ("/root/reference/kalmanFilter/resources/videos/s3/video4/"
+         "escritorio_traslacion.mp4")
 CONFIG = "/root/reference/experiments/s3/config.yml"
 N_FRAMES = 720
 
 
+def load_video_frames():
+    """The bundled desk-translation mp4 (359 frames, 640x480)."""
+    import cv2
+
+    cap = cv2.VideoCapture(VIDEO)
+    frames = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        frames.append(cv2.cvtColor(f, cv2.COLOR_BGR2GRAY))
+    cap.release()
+    return np.stack(frames)
+
+
 def main():
-    out_dir = sys.argv[1] if len(sys.argv) > 1 else "runs/parity_full"
+    video = "--video" in sys.argv
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    out_dir = args[0] if args else (
+        "runs/parity_video" if video else "runs/parity_full")
     os.makedirs(out_dir, exist_ok=True)
 
     cfg = load_config(CONFIG)
@@ -56,7 +76,10 @@ def main():
         ransac_parity_visit=True, max_hypotheses=1000)
     rt = SlamRuntime(cfg)
 
-    frames = np.stack(list(FileSequenceSource(FRAMES_DIR, 1, N_FRAMES)))
+    if video:
+        frames = load_video_frames()
+    else:
+        frames = np.stack(list(FileSequenceSource(FRAMES_DIR, 1, N_FRAMES)))
     print(f"recording live injection log over {len(frames)} frames ...")
     log = record_live_log(rt, frames, chunk=40)
 
