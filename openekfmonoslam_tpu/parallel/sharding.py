@@ -76,3 +76,66 @@ def make_sharded_init(runtime: SlamRuntime, mesh: Mesh, axis: str = "p"):
         in_shardings=(sh, rep),
         out_shardings=sh,
     )
+
+
+# ---------------------------------------------------------------------------
+# 2-D (row x column) covariance sharding
+# ---------------------------------------------------------------------------
+#
+# The 1-D row sharding's communication floor is the replicated Kalman
+# factor: every device's row block of the downdate P -= K^T (H P) needs
+# ALL columns of the (2F, N) factor, so the all-gather moves ~2F*N bytes
+# per device regardless of the device count.  Tiling P over a (p, q)
+# mesh instead gives each device an (N/p, N/q) block: it needs only the
+# (2F, N/q) column slice of the factor and the (N/p, 2F) row slice of
+# K^T -- per-device gather traffic drops by ~q, which is the sqrt(D)
+# scaling BASELINE.md's efficiency model calls for at pod scale.
+# Everything else in the step already partitions on both axes: the
+# placement helpers (filter/shardable.py) are elementwise selects, the
+# strips are one-hot contractions, and x/metadata stay replicated.
+
+
+def make_mesh_2d(devices=None, shape: tuple = (2, 4),
+                 axes: tuple = ("p", "q")) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    arr = np.asarray(devices[:shape[0] * shape[1]]).reshape(shape)
+    return Mesh(arr, axes)
+
+
+def state_shardings_2d(mesh: Mesh, axes: tuple = ("p", "q")) -> SlamState:
+    """P tiled (rows x cols) over the 2-D mesh; everything else
+    replicated."""
+    rep = NamedSharding(mesh, P())
+    return SlamState(
+        x=rep,
+        P=NamedSharding(mesh, P(axes[0], axes[1])),
+        active=rep,
+        is_xyz=rep,
+        times_predicted=rep,
+        times_matched=rep,
+        descriptors=rep,
+        patch_pose=rep,
+        rng=rep,
+        frame=rep,
+    )
+
+
+def shard_state_2d(state: SlamState, mesh: Mesh,
+                   axes: tuple = ("p", "q")) -> SlamState:
+    return jax.tree.map(jax.device_put, state, state_shardings_2d(mesh, axes))
+
+
+def make_sharded_step_2d(runtime: SlamRuntime, mesh: Mesh,
+                         axes: tuple = ("p", "q")):
+    sh = state_shardings_2d(mesh, axes)
+    rep = NamedSharding(mesh, P())
+    return jax.jit(runtime.step, in_shardings=(sh, rep),
+                   out_shardings=(sh, rep))
+
+
+def make_sharded_init_2d(runtime: SlamRuntime, mesh: Mesh,
+                         axes: tuple = ("p", "q")):
+    sh = state_shardings_2d(mesh, axes)
+    rep = NamedSharding(mesh, P())
+    return jax.jit(runtime.init_step, in_shardings=(sh, rep),
+                   out_shardings=sh)

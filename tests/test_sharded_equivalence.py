@@ -179,3 +179,42 @@ def test_sharded_step_collective_inventory(churn_cfg, frames):
           f"({total / full_p_bytes:.2f} x one full-P rebuild; "
           f"full P = {full_p_bytes:,} B)")
     assert total < 4 * full_p_bytes, (total, full_p_bytes)
+
+
+def test_sharded_2d_step_matches_single_device(churn_cfg, frames):
+    """The 2-D (row x col) P tiling -- the sqrt(D) communication layout
+    for pod-scale maps -- produces the same float64 trajectory as the
+    single-device run through the same churn sequence."""
+    from openekfmonoslam_tpu.parallel.sharding import (
+        make_mesh_2d, make_sharded_init_2d, make_sharded_step_2d,
+        shard_state_2d)
+
+    s1, r1 = _run_unsharded(churn_cfg, frames)
+
+    rt = SlamRuntime(churn_cfg)
+    mesh = make_mesh_2d(jax.devices()[:8], (2, 4))
+    state = shard_state_2d(rt.make_initial_state(), mesh)
+    init_fn = make_sharded_init_2d(rt, mesh)
+    step_fn = make_sharded_step_2d(rt, mesh)
+    state = init_fn(state, frames[0])
+    recs = []
+    for f in frames[1:]:
+        state, rec = step_fn(state, f)
+        recs.append(rec)
+
+    for i, (a, b) in enumerate(zip(r1, recs)):
+        np.testing.assert_allclose(
+            np.asarray(b.x_cam), np.asarray(a.x_cam), rtol=0, atol=1e-9,
+            err_msg=f"frame {i}")
+        assert int(a.total_matches) == int(b.total_matches), i
+        assert int(a.n_active) == int(b.n_active), i
+    np.testing.assert_allclose(np.asarray(state.x), np.asarray(s1.x),
+                               rtol=0, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(state.P), np.asarray(s1.P),
+                               rtol=1e-7, atol=1e-9)
+
+    # and the compiled program never rebuilds a replicated P
+    hlo = step_fn.lower(state, frames[0]).compile().as_text()
+    n = churn_cfg.padded_state_dim
+    full_p = len(re.findall(rf"all-gather[^\n]*f64\[{n},{n}\]", hlo))
+    assert full_p == 0, full_p
