@@ -26,9 +26,23 @@ def save_checkpoint(path: str, state: SlamState) -> None:
 
 def load_checkpoint(path: str, like: SlamState | None = None) -> SlamState:
     """Load a checkpoint; ``like`` (e.g. a fresh make_initial_state) pins
-    dtypes/sharding expectations when provided."""
+    dtypes/sharding expectations when provided.
+
+    Fields added to SlamState after a checkpoint was written (e.g. the
+    round-3 ``patch_pose`` NCC warp anchor) are filled from ``like`` --
+    old checkpoints keep loading; the missing metadata just starts cold.
+    """
     with np.load(path) as data:
-        arrays = {f: data[f] for f in _FIELDS}
+        arrays = {}
+        for f in _FIELDS:
+            if f in data:
+                arrays[f] = data[f]
+            elif like is not None:
+                arrays[f] = np.asarray(getattr(like, f))
+            else:
+                raise KeyError(
+                    f"checkpoint misses field {f!r} and no ``like`` state "
+                    "was provided to fill it")
     if like is not None:
         for f in _FIELDS:
             want = getattr(like, f)

@@ -124,3 +124,30 @@ class TestResetMap:
         assert int(reset.frame) == 42
         np.testing.assert_array_equal(np.asarray(reset.P),
                                       np.asarray(fresh.P))
+
+
+def test_old_checkpoint_without_new_fields_loads(tmp_path):
+    """Checkpoints written before a SlamState field existed (e.g. the
+    round-3 patch_pose) still load: missing fields fill from ``like``."""
+    import numpy as np
+
+    from openekfmonoslam_tpu.config import SlamConfig
+    from openekfmonoslam_tpu.engine.checkpoint import (load_checkpoint,
+                                                       save_checkpoint)
+    from openekfmonoslam_tpu.engine.step import SlamRuntime
+
+    rt = SlamRuntime(SlamConfig(max_features=8, max_keypoints=32))
+    state = rt.make_initial_state()
+    path = tmp_path / "ck.npz"
+    save_checkpoint(str(path), state)
+
+    # rewrite the file WITHOUT patch_pose (simulating an old checkpoint)
+    with np.load(path) as data:
+        arrays = {k: data[k] for k in data.files if k != "patch_pose"}
+    np.savez_compressed(path, **arrays)
+
+    like = rt.make_initial_state()
+    loaded = load_checkpoint(str(path), like)
+    np.testing.assert_array_equal(np.asarray(loaded.x), np.asarray(state.x))
+    np.testing.assert_array_equal(np.asarray(loaded.patch_pose),
+                                  np.asarray(like.patch_pose))
