@@ -10,8 +10,10 @@ inverse-depth feature to XYZ when its linearity index falls below threshold
 
 TPU-first departures: removal is a masked zeroing of P rows/columns and a
 cleared active bit (no compaction/re-basing, MapManagement.cpp:168-259);
-conversion rewrites one slot's 6-dim block to a 3-dim block in place via
-dynamic slices and retires the last 3 dims.
+conversion collapses one slot's 6-dim block to a 3-dim block through
+filter/shardable.py placement forms (one-hot row selection + predicate
+writes -- sharding-clean and branch-gated on the rare trigger) and
+retires the last 3 dims.
 """
 
 from __future__ import annotations

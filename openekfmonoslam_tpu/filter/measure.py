@@ -10,10 +10,13 @@ S_i = H_i P H_i^T + I (identity measurement noise on this path, :647-653).
 TPU-first departures:
   * every slot is processed at once under ``vmap`` -- the reference's
     per-feature loop (:681-699) disappears;
-  * H_i is produced by jax.jacfwd through the *exact* measurement function,
-    including the unrolled Newton distortion inversion -- replacing ~300
-    lines of hand chain rule (:273-589) and their transcription bugs (e.g.
-    the jacobian[1]/jacobian[2] slip at :371-373, documented in SURVEY.md);
+  * H_i comes from the analytic structure-of-arrays chain in
+    filter/measure_fast.py (the correct-math version of the reference's
+    ~300-line hand chain rule :273-589, without its transcription bugs,
+    e.g. the jacobian[1]/jacobian[2] slip at :371-373) -- with a vmapped
+    jax.jacfwd of the exact measurement function kept as the independent
+    cross-check implementation (tests/test_measure_fast.py locks the two
+    elementwise);
   * visibility is a mask, not a compacted vector; invisible slots carry
     zero Jacobians and S_i = I so downstream masked algebra stays finite.
 
