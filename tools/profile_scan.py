@@ -1,8 +1,12 @@
-"""Honest on-device phase timing: lax.scan each phase 64x.
+"""Per-phase scan timing of the CONFIGURED pipeline (STAR+BRIEF for s3).
 
-Scanning a phase amortizes dispatch/tunnel latency, giving true per-call
-device cost (unlike tools/profile_step.py which is launch-bound on a
-tunneled device).
+Scanning a phase amortizes per-kernel dispatch, but each standalone scan
+still carries a fixed per-call harness cost (~0.35 ms on the tunneled
+chip: output fetch + loop-invariant staging) that dominates the small
+phases -- read the numbers as "floor + phase", and use
+tools/ablate_scan.py (subtractive, in the full step) for honest
+attribution.  Kept because the MARGINAL differences between rows are
+still informative.
 """
 
 import dataclasses
@@ -82,18 +86,15 @@ def main():
                                s, rt.camera), state)
 
     with jax.default_matmul_precision("default"):
-        total += scan_time("fast_scores+nms",
-                           lambda g: fast.non_max_suppress(
-                               fast.fast_scores(g, 20.0), 2), gray)
-        total += scan_time("blur+dense_descriptors",
-                           lambda g: brief.dense_descriptors_shared(
-                               brief.smooth(g, 2.0), rt.frontend._points_np,
-                               rt.frontend._pairs_np), gray)
+        total += scan_time("frontend.precompute (configured: "
+                           + rt.frontend.det_kind + "+"
+                           + rt.frontend.desc_kind + ")",
+                           rt.frontend.precompute, gray)
         mask_fn = lambda p: matching.ellipse_union_mask(  # noqa: E731
             (480, 640), p.uv, p.S, p.visible, rt.gate)
         total += scan_time("ellipse_union_mask", mask_fn, pred)
-        score = jax.jit(lambda g: fast.non_max_suppress(
-            fast.fast_scores(g, 20.0), 2))(gray)
+        aux = jax.jit(rt.frontend.precompute)(gray)
+        score = aux["score_nms"]
         mask = jax.jit(mask_fn)(pred)
         total += scan_time("top-K detect x2",
                            lambda s, m: (fast.detect_keypoints(
@@ -102,11 +103,10 @@ def main():
                                    s, ~m, cfg.max_keypoints)), score, mask)
         kps = jax.jit(lambda s, m: fast.detect_keypoints(
             s, m, cfg.max_keypoints))(score, mask)
-        planes = jax.jit(lambda g: brief.dense_descriptors_shared(
-            brief.smooth(g, 2.0), rt.frontend._points_np,
-            rt.frontend._pairs_np))(gray)
-        kp_desc = jax.jit(lambda pl, yx: brief.lookup_descriptors(
-            pl, yx, margin=int(np.abs(rt.frontend._points_np).max())))(planes, kps.yx)
+        total += scan_time("describe (configured)",
+                           lambda a, yx: rt.frontend.describe(a, yx),
+                           aux, kps.yx)
+        kp_desc = jax.jit(rt.frontend.describe)(aux, kps.yx)
         kp_xy = jnp.stack([kps.yx[:, 1], kps.yx[:, 0]], -1).astype(
             jnp.float32)
         total += scan_time("match_predictions",
