@@ -176,6 +176,16 @@ class SlamConfig:
     # over all hypotheses picks the same-or-better winner with no
     # sequential scan (see filter/ransac.py).
     ransac_parity_visit: bool = False
+    # Bug-compatible mode: reproduce the reference's transcription quirks
+    # *inside the jitted engine* -- the jacobian[1]/[2] slip and the
+    # unrotated drho column in the H chain (MeasurementPrediction.cpp:
+    # 371-394, :553-580), the hand-chained one-shot distortion Jacobian
+    # (:308-337), the DELTA=1e-12 update deadband (Update.cpp:133-203),
+    # and the insertion-order RANSAC visit / conversion scan.  Off =
+    # correct math (the default).  With this + ransac_parity_visit the
+    # engine tracks the bug-compatible reference oracle to machine
+    # precision (tests/test_oracle_parity.py).
+    reference_quirks: bool = False
     seed: int = 0
     # TPU matmul pass count for the filter algebra: "high" = 3-pass bf16
     # (~f32, default; measured drift-equivalent to 6-pass on the bundled

@@ -82,6 +82,9 @@ class SlamRuntime:
                      * config.chi2_95_2))
         self.zones_in_a_row = int(
             2 ** ekf.detect_new_features_image_areas_divide_times)
+        # bug-compatible mode (config.reference_quirks): quirky H chain,
+        # DELTA deadband, insertion-order RANSAC visit + conversion scan
+        self.quirks = bool(config.reference_quirks)
 
     def _border_mask(self, shape):
         h, w = shape
@@ -152,7 +155,8 @@ class SlamRuntime:
         with jax.default_matmul_precision(self.config.matmul_precision):
             state = state._replace(frame=state.frame + 1)
             state = pred_mod.predict(state, self.config)
-            pred = meas_mod.predict_measurements(state, self.camera)
+            pred = meas_mod.predict_measurements(state, self.camera,
+                                                 quirks=self.quirks)
             return state, pred
 
     def phase_match(self, state: SlamState, pred, gray: jnp.ndarray):
@@ -211,19 +215,23 @@ class SlamRuntime:
                 cfg.ekf.ransac_threshold_predict_distance,
                 cfg.ekf.ransac_all_inliers_probability,
                 cfg.camera.pixel_error_x,
-                cfg.max_hypotheses, cfg.ransac_parity_visit)
+                cfg.max_hypotheses, cfg.ransac_parity_visit,
+                visit_key=state.birth if self.quirks else None,
+                deadband=self.quirks)
 
     def phase_update_li(self, state: SlamState, pred, m, inliers):
         """[4] low-innovation joint update ('UpdateLI', EKF.cpp:423-437)."""
         with jax.default_matmul_precision(self.config.matmul_precision):
             return upd_mod.update(state, pred, m.z, inliers,
-                                  self.config.camera.pixel_error_x)
+                                  self.config.camera.pixel_error_x,
+                                  deadband=self.quirks)
 
     def phase_rescue(self, state: SlamState, m, outliers):
         """[5] re-predict + chi2 outlier rescue ('RescueOutliers',
         EKF.cpp:443-517)."""
         with jax.default_matmul_precision(self.config.matmul_precision):
-            pred2 = meas_mod.predict_measurements(state, self.camera)
+            pred2 = meas_mod.predict_measurements(state, self.camera,
+                                                  quirks=self.quirks)
             rescued = ransac_mod.rescue_outliers(
                 pred2, m.z, outliers, self.config.ekf.ransac_chi2_threshold)
             return pred2, rescued
@@ -232,7 +240,8 @@ class SlamRuntime:
         """[6] high-innovation joint update ('UpdateHI', EKF.cpp:522-540)."""
         with jax.default_matmul_precision(self.config.matmul_precision):
             return upd_mod.update(state, pred2, m.z, rescued,
-                                  self.config.camera.pixel_error_x)
+                                  self.config.camera.pixel_error_x,
+                                  deadband=self.quirks)
 
     def phase_mapman(self, state: SlamState, pred, m, inliers_all, aux,
                      in_ellipse):
@@ -271,7 +280,8 @@ class SlamRuntime:
             # inline -- a lax.cond here costs ~36 un-fusable kernels)
             state = mapman.convert_one_to_xyz(
                 state, ekf.inverse_depth_linearity_index_threshold,
-                enable=do_mm)
+                enable=do_mm,
+                order_key=state.birth if self.quirks else None)
 
             # detect + add new features away from the frame-start ellipses.
             # Tracking-healthy frames (matches >= MinMatchesPerImage, the
@@ -371,7 +381,8 @@ class SlamRuntime:
                       matched: jnp.ndarray,
                       new_uv: jnp.ndarray | None = None,
                       new_desc: jnp.ndarray | None = None,
-                      new_valid: jnp.ndarray | None = None
+                      new_valid: jnp.ndarray | None = None,
+                      new_slot: jnp.ndarray | None = None
                       ) -> tuple[SlamState, StepRecord]:
         """The filter pipeline with *injected* per-slot measurements.
 
@@ -380,7 +391,12 @@ class SlamRuntime:
         maintenance on externally supplied matches, decoupling the filter
         math from the vision front-end for golden tests and offline replay.
         ``z`` is (F, 2) measured pixels for ``matched`` slots; optional
-        new-feature candidates are added afterwards.
+        new-feature candidates are added afterwards.  ``new_slot`` pins
+        each candidate to the log's recorded slot id (the replay must
+        reproduce the recorder's slot layout even when this run's
+        map-management decisions diverge, e.g. under reference_quirks --
+        the log's measurements are keyed by the recorder's slots);
+        None falls back to fresh lowest-free assignment.
         """
         with jax.default_matmul_precision(self.config.matmul_precision):
             cfg = self.config
@@ -390,7 +406,8 @@ class SlamRuntime:
 
             state = state._replace(frame=state.frame + 1)
             state = pred_mod.predict(state, cfg)
-            pred = meas_mod.predict_measurements(state, cam)
+            pred = meas_mod.predict_measurements(state, cam,
+                                                 quirks=self.quirks)
             matched = matched & pred.visible
             z = z.astype(self.dtype)
 
@@ -398,12 +415,17 @@ class SlamRuntime:
                 state, pred, z, matched, cam,
                 ekf.ransac_threshold_predict_distance,
                 ekf.ransac_all_inliers_probability, pixel_error,
-                cfg.max_hypotheses, cfg.ransac_parity_visit)
-            state = upd_mod.update(state, pred, z, res.inliers, pixel_error)
-            pred2 = meas_mod.predict_measurements(state, cam)
+                cfg.max_hypotheses, cfg.ransac_parity_visit,
+                visit_key=state.birth if self.quirks else None,
+                deadband=self.quirks)
+            state = upd_mod.update(state, pred, z, res.inliers, pixel_error,
+                                   deadband=self.quirks)
+            pred2 = meas_mod.predict_measurements(state, cam,
+                                                  quirks=self.quirks)
             rescued = ransac_mod.rescue_outliers(
                 pred2, z, res.outliers, ekf.ransac_chi2_threshold)
-            state = upd_mod.update(state, pred2, z, rescued, pixel_error)
+            state = upd_mod.update(state, pred2, z, rescued, pixel_error,
+                                   deadband=self.quirks)
             inliers_all = res.inliers | rescued
 
             # map management mirrors the live pipeline (EKF.cpp:567-612):
@@ -428,7 +450,8 @@ class SlamRuntime:
 
             state = mapman.convert_one_to_xyz(
                 state, ekf.inverse_depth_linearity_index_threshold,
-                enable=do_mm)
+                enable=do_mm,
+                order_key=state.birth if self.quirks else None)
 
             C = cfg.max_features
             if new_uv is not None:
@@ -436,11 +459,23 @@ class SlamRuntime:
                     new_desc = jnp.zeros(
                         (new_uv.shape[0],) + state.descriptors.shape[1:],
                         state.descriptors.dtype)
-                new_slot, new_ok = feat_mod.assign_slots(state.active,
-                                                         new_valid)
-                state = feat_mod.add_features(
-                    state, cam, cfg, new_uv.astype(self.dtype), new_desc,
-                    new_valid)
+                # the live path only adds when map management ran AND the
+                # inlier count fell short (EKF.cpp:597-611); the replayed
+                # log's additions must pass the same gate, because this
+                # run's inlier decisions can differ from the recording
+                # run's (e.g. quirks on vs off)
+                new_valid = new_valid & do_mm & (needed > 0)
+                if new_slot is not None:
+                    new_ok = new_valid
+                    state = feat_mod.add_features_at(
+                        state, cam, cfg, new_uv.astype(self.dtype),
+                        new_desc, new_slot, new_valid)
+                else:
+                    new_slot, new_ok = feat_mod.assign_slots(state.active,
+                                                             new_valid)
+                    state = feat_mod.add_features(
+                        state, cam, cfg, new_uv.astype(self.dtype),
+                        new_desc, new_valid)
                 rec_uv = jnp.zeros((C, 2), self.dtype).at[
                     :new_uv.shape[0]].set(new_uv.astype(self.dtype))
                 rec_ok = jnp.zeros((C,), bool).at[:new_ok.shape[0]].set(

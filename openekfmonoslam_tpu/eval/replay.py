@@ -75,29 +75,37 @@ def replay_through_engine(runtime: SlamRuntime, log: dict) -> np.ndarray:
     C = cfg.max_features
     uv = np.zeros((C, 2))
     valid = np.zeros((C,), bool)
+    slots0 = np.full((C,), C, np.int32)
     n0 = min(len(log["init"]), C)
-    for i, (p, _slot) in enumerate(log["init"][:n0]):
+    for i, (p, slot) in enumerate(log["init"][:n0]):
         uv[i] = p
         valid[i] = True
+        slots0[i] = slot
     from openekfmonoslam_tpu.filter import features as feat_mod
     desc = jnp.zeros((C,) + state.descriptors.shape[1:],
                      state.descriptors.dtype)
-    state = feat_mod.add_features(
+    state = feat_mod.add_features_at(
         state, runtime.camera, cfg, jnp.asarray(uv, state.x.dtype), desc,
-        jnp.asarray(valid))
+        jnp.asarray(slots0), jnp.asarray(valid))
 
     step = jax.jit(runtime.step_injected)
     traj = []
     for fr in log["frames"]:
         uv = np.zeros((C, 2))
         valid = np.zeros((C,), bool)
-        for i, (p, _slot) in enumerate(fr["new"][:C]):
+        slots = np.full((C,), C, np.int32)
+        for i, (p, slot) in enumerate(fr["new"][:C]):
             uv[i] = p
             valid[i] = True
+            slots[i] = slot
+        # adds are replayed INTO the recorder's slot ids so the log's
+        # slot-keyed measurements keep addressing the same landmarks even
+        # if this run's mapman decisions diverge from the recorder's
         state, rec = step(state, jnp.asarray(fr["z"], state.x.dtype),
                           jnp.asarray(fr["matched"]),
                           new_uv=jnp.asarray(uv, state.x.dtype),
                           new_desc=None,
-                          new_valid=jnp.asarray(valid))
+                          new_valid=jnp.asarray(valid),
+                          new_slot=jnp.asarray(slots))
         traj.append(np.asarray(rec.x_cam, np.float64))
     return np.stack(traj)

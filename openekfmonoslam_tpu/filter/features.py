@@ -102,6 +102,33 @@ def add_features(state: SlamState, camera: Camera, config: SlamConfig,
     return jax.lax.cond(jnp.any(ok), _do_add, lambda s: s, state)
 
 
+def add_features_at(state: SlamState, camera: Camera, config: SlamConfig,
+                    cand_uv: jnp.ndarray, cand_desc: jnp.ndarray,
+                    slots: jnp.ndarray, ok: jnp.ndarray) -> SlamState:
+    """add_features with EXPLICIT slot placement (replay path).
+
+    The injection-log replay must reproduce the recording run's slot
+    layout even when this run's map-management decisions diverge from the
+    recording's (e.g. reference_quirks on): measurements in the log are
+    keyed by the recorder's slot ids.  ``slots`` gives each candidate's
+    target slot; occupied targets are freed first (the oracle's collision
+    rule, eval/oracle.py add_feature)."""
+    Fslots = state.n_features
+    colliding = jnp.zeros((Fslots,), bool).at[
+        jnp.where(ok, slots, Fslots)].set(True, mode="drop")
+    from openekfmonoslam_tpu.filter import mapman
+    state = jax.lax.cond(
+        jnp.any(colliding & state.active),
+        lambda s: mapman.remove_features(s, colliding & s.active),
+        lambda s: s, state)
+    slots = jnp.where(ok, slots, Fslots).astype(jnp.int32)
+    return jax.lax.cond(
+        jnp.any(ok),
+        lambda s: _add_features_impl(s, camera, config, cand_uv, cand_desc,
+                                     slots, ok),
+        lambda s: s, state)
+
+
 def _add_features_impl(state: SlamState, camera: Camera, config: SlamConfig,
                        cand_uv: jnp.ndarray, cand_desc: jnp.ndarray,
                        slots: jnp.ndarray, ok: jnp.ndarray) -> SlamState:
@@ -172,6 +199,11 @@ def _add_features_impl(state: SlamState, camera: Camera, config: SlamConfig,
     x_new = state.x.at[flat_idx].set(feats.reshape(-1))
     zeros_c = jnp.zeros((C,), jnp.int32)
     pose_rows = jnp.broadcast_to(cam7.astype(jnp.float32), (C, 7))
+    # insertion stamp: candidate order within the frame preserves the
+    # sequential addition order of the reference (AddMapFeature.cpp:354-367);
+    # at most C candidates per frame makes frame*(C+1)+i globally monotonic
+    births = (state.frame * jnp.int32(C + 1)
+              + jnp.arange(C, dtype=jnp.int32))
     return state._replace(
         x=x_new,
         P=P_new,
@@ -181,4 +213,5 @@ def _add_features_impl(state: SlamState, camera: Camera, config: SlamConfig,
         times_matched=state.times_matched.at[slots].set(zeros_c),
         descriptors=state.descriptors.at[slots].set(cand_desc),
         patch_pose=state.patch_pose.at[slots].set(pose_rows),
+        birth=state.birth.at[slots].set(births),
     )

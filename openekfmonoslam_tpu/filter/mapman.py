@@ -113,7 +113,8 @@ def linearity_index(state: SlamState) -> jnp.ndarray:
 
 
 def convert_one_to_xyz(state: SlamState, threshold: float,
-                       enable=True) -> SlamState:
+                       enable=True,
+                       order_key: jnp.ndarray | None = None) -> SlamState:
     """Convert the first eligible slot with linearity index below threshold
     (convertMapFeaturesInverseDepthToDepth, MapManagement.cpp:494-523: at
     most one conversion per frame).
@@ -129,7 +130,14 @@ def convert_one_to_xyz(state: SlamState, threshold: float,
     """
     li = linearity_index(state)
     below = li < threshold
-    slot = jnp.argmax(below)                       # first True in slot order
+    if order_key is None:
+        slot = jnp.argmax(below)                   # first True in slot order
+    else:
+        # reference_quirks mode: the reference scans
+        # mapFeaturesInvDepth in INSERTION order (MapManagement.cpp:
+        # 494-523) -- pass state.birth to pick the oldest eligible slot
+        big = jnp.iinfo(jnp.int32).max
+        slot = jnp.argmin(jnp.where(below, order_key, big))
     do = jnp.any(below) & jnp.asarray(enable)
     # conversions are rare (<=1 slot, only when the linearity index dips):
     # branch the P/x surgery on ``do`` so non-converting frames skip the

@@ -89,7 +89,8 @@ def _measure_with_jac(camera, cam7, feat, is_xyz):
 
 
 def predict_measurements(state: SlamState, camera: Camera,
-                         analytic: bool = True) -> Prediction:
+                         analytic: bool = True,
+                         quirks: bool = False) -> Prediction:
     """Vectorized h + H + S for every slot (predictCameraMeasurements,
     MeasurementPrediction.cpp:705-719).
 
@@ -98,7 +99,13 @@ def predict_measurements(state: SlamState, camera: Camera,
     below (locked elementwise by tests/test_measure_fast.py) compiled to
     ~10x fewer kernels; False keeps vmapped jacfwd (the independent
     implementation the equivalence test checks against).
+
+    ``quirks`` selects the reference's bug-compatible H chain
+    (measure_fast docstring; analytic only -- jacfwd differentiates the
+    true h and cannot reproduce transcription bugs).
     """
+    if quirks and not analytic:
+        raise ValueError("reference_quirks requires the analytic H chain")
     F = state.n_features
     dtype = state.P.dtype
     cam7 = state.x[:7]
@@ -107,7 +114,7 @@ def predict_measurements(state: SlamState, camera: Camera,
     if analytic:
         from openekfmonoslam_tpu.filter import measure_fast
         uv, Hc7, Hf = measure_fast.measurements_with_jacobians(
-            camera, cam7, feats, state.is_xyz)
+            camera, cam7, feats, state.is_xyz, quirks=quirks)
         visible = measure_fast.visibility(
             camera, cam7, feats, state.is_xyz, state.active, uv)
     else:

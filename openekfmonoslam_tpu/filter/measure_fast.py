@@ -58,9 +58,22 @@ def _rotation_T(q):
 
 
 def measurements_with_jacobians(camera: Camera, cam7: jnp.ndarray,
-                                feats: jnp.ndarray, is_xyz: jnp.ndarray):
+                                feats: jnp.ndarray, is_xyz: jnp.ndarray,
+                                quirks: bool = False):
     """(uv (F,2), Hc7 (F,2,7), Hf (F,2,6)) -- same contract (and same
-    derivative) as vmap(_measure_with_jac), via the analytic chain."""
+    derivative) as vmap(_measure_with_jac), via the analytic chain.
+
+    ``quirks`` switches the H chain to the reference's transcribed bugs
+    (the engine-side bug-compatible mode; eval/oracle.py::OracleQuirks
+    documents each with citations):
+      * the jacobian[1]/[2] slip -- dh/dr uses -R^T with entry (0,1)
+        zeroed (MeasurementPrediction.cpp:371-394);
+      * the unrotated drho column -- Hf[:, 5] carries the world-frame
+        anchor offset, not R^T (p0 - r) (:553-580);
+      * the hand-chain distortion Jacobian -- IDJ is the inverse of the
+        one-shot undistort Jacobian at the distorted pixel (:308-337)
+        instead of the exact implicit derivative of the Newton inversion.
+    The measurement VALUE h(x) is identical in both modes."""
     dtype = feats.dtype
     r = cam7[0:3]
     q = cam7[3:7]
@@ -121,16 +134,41 @@ def measurements_with_jacobians(camera: Camera, cam7: jnp.ndarray,
     vd = cy + dv / d
     uv = jnp.stack([ud, vd], axis=-1)
 
-    # ---- IDJ = d(distort)/d(uv_undist) (implicit function theorem) ----
-    dd_drd = 2.0 * k1 * rd + 4.0 * k2 * rd * rd2
-    cmul = dd_drd / (gp * ru)
-    # dd/ddu = cmul * (dx^2 du, dy^2 dv); J = I/d - outer(du,dv) dd / d^2
-    inv_d = 1.0 / d
-    inv_d2 = inv_d * inv_d
-    i00 = inv_d - du * cmul * dx_ * dx_ * du * inv_d2
-    i01 = -du * cmul * dy_ * dy_ * dv * inv_d2
-    i10 = -dv * cmul * dx_ * dx_ * du * inv_d2
-    i11 = inv_d - dv * cmul * dy_ * dy_ * dv * inv_d2
+    if quirks:
+        # ---- IDJ = inv(one-shot undistort Jacobian at the DISTORTED
+        # pixel) (makeJacobianOfDistortionFunction,
+        # MeasurementPrediction.cpp:308-337, inverted by
+        # makeJacobianOfProjection :343-362) -- NOT the derivative of the
+        # Newton-inverted h actually evaluated above; off by
+        # O((k1 r^2)^2) relative, exactly as the reference is.
+        pdx = ud - cx
+        pdy = vd - cy
+        mxq = dx_ * pdx
+        myq = dy_ * pdy
+        r2q = mxq * mxq + myq * myq
+        radq = 1.0 + k1 * r2q + k2 * r2q * r2q
+        gq = k1 + 2.0 * k2 * r2q
+        u00 = radq + pdx * gq * 2.0 * pdx * dx_ * dx_
+        u01 = pdx * gq * 2.0 * pdy * dy_ * dy_
+        u10 = pdy * gq * 2.0 * pdx * dx_ * dx_
+        u11 = radq + pdy * gq * 2.0 * pdy * dy_ * dy_
+        detq = u00 * u11 - u01 * u10
+        i00 = u11 / detq
+        i01 = -u01 / detq
+        i10 = -u10 / detq
+        i11 = u00 / detq
+    else:
+        # ---- IDJ = d(distort)/d(uv_undist) (implicit function theorem) --
+        dd_drd = 2.0 * k1 * rd + 4.0 * k2 * rd * rd2
+        cmul = dd_drd / (gp * ru)
+        # dd/ddu = cmul * (dx^2 du, dy^2 dv);
+        # J = I/d - outer(du,dv) dd / d^2
+        inv_d = 1.0 / d
+        inv_d2 = inv_d * inv_d
+        i00 = inv_d - du * cmul * dx_ * dx_ * du * inv_d2
+        i01 = -du * cmul * dy_ * dy_ * dv * inv_d2
+        i10 = -dv * cmul * dx_ * dx_ * du * inv_d2
+        i11 = inv_d - dv * cmul * dy_ * dy_ * dv * inv_d2
 
     # ---- FPJ = d(project)/d(p_cam) ----
     f00 = fx * inv_z
@@ -154,9 +192,20 @@ def measurements_with_jacobians(camera: Camera, cam7: jnp.ndarray,
     s = jnp.where(is_xyz, jnp.ones_like(rho), rho)
     prt = [rt_mul(*e) for e in ((1.0, 0.0, 0.0), (0.0, 1.0, 0.0),
                                 (0.0, 0.0, 1.0))]      # columns of Rt
+    if quirks:
+        # jacobian[1] is never written in the reference's -R^T transcript
+        # (jacobian[2] is written twice, MeasurementPrediction.cpp:371-373
+        # and the rho-scaled variant :392-394): entry (0,1) of the dh/dr
+        # chain's -R^T stays zero.  dh/dr only -- dh/dq, Hf and the value
+        # use the true R^T.
+        drt = list(prt)
+        drt[1] = (0.0, prt[1][1], prt[1][2])
+    else:
+        drt = prt
     # proj @ Rt columns
-    pR = [proj_mul(*col) for col in prt]               # 3 x (2,)
-    dh_dr = [(-s * pR[j][i]) for j in range(3) for i in range(2)]
+    pRd = [proj_mul(*col) for col in drt]              # dh/dr chain
+    pR = ([proj_mul(*col) for col in prt] if quirks else pRd)  # Hf chain
+    dh_dr = [(-s * pRd[j][i]) for j in range(3) for i in range(2)]
     # index [j*2+i] = (row i, col j)
 
     # ---- dh/dq: d(R(q)^T a)/dq = dR_a_dq(q_conj, a) . diag(1,-1,-1,-1)
@@ -188,7 +237,13 @@ def measurements_with_jacobians(camera: Camera, cam7: jnp.ndarray,
     dmph = (-sph * sth, -cph, -sph * cth)
     pR_dmth = proj_mul(*rt_mul(*dmth))
     pR_dmph = proj_mul(*rt_mul(*dmph))
-    pR_off = proj_mul(*rt_mul(ox, oy, oz))
+    if quirks:
+        # the unrotated drho column: the reference computes the rotated
+        # offset but uses the WORLD-frame (p0 - r) in the rho column
+        # (MeasurementPrediction.cpp:553-580)
+        pR_off = proj_mul(ox, oy, oz)
+    else:
+        pR_off = proj_mul(*rt_mul(ox, oy, oz))
     hf_cols = []
     for j in range(3):                                  # anchor / position
         col = (jnp.where(is_xyz, pR[j][0], rho * pR[j][0]),

@@ -53,7 +53,8 @@ class RansacResult(NamedTuple):
 
 def _batched_state_only_updates(state: SlamState, pred: Prediction,
                                 z: jnp.ndarray, matched: jnp.ndarray,
-                                pixel_error: float) -> jnp.ndarray:
+                                pixel_error: float,
+                                deadband: bool = False) -> jnp.ndarray:
     """Hypothesized states: one state-only 1-point update per matched slot.
 
     Returns (F, 13) camera states (feature updates also happen in the
@@ -80,9 +81,17 @@ def _batched_state_only_updates(state: SlamState, pred: Prediction,
     S = pred.S + (pixel_error - 1.0) * jnp.eye(2, dtype=dtype)[None]
 
     dz = (z - pred.uv)                                   # (F, 2)
+    if deadband:
+        # updateOnlyState runs through the same deadbanded stateUpdate as
+        # the joint update (Update.cpp:133-203) -- filter/update.py DELTA
+        from openekfmonoslam_tpu.filter.update import DELTA
+        dz = jnp.where(jnp.abs(dz) > DELTA, dz, 0.0)
     # K_i dz_i = PHt_i S_i^-1 dz_i
     sol = _solve2x2(S, dz)                               # (F, 2)
     dx = jnp.einsum("fni,fi->fn", PHt, sol)              # (F, N)
+    if deadband:
+        from openekfmonoslam_tpu.filter.update import DELTA
+        dx = jnp.where(jnp.abs(dx) > DELTA, dx, 0.0)
     dx = dx * matched[:, None].astype(dtype)
     return state.x[None, :] + dx
 
@@ -127,7 +136,10 @@ def _adaptive_visit_scan(support: jnp.ndarray, matched: jnp.ndarray,
     Returns (best_index, best_support, visited_count).
     """
     n_matches = jnp.sum(matched.astype(jnp.int32))
-    log1mp = jnp.log(1.0 - all_inliers_probability)
+    # the C++ computes the bound in double (1PointRansac.cpp:171-177);
+    # follow the run's x64 setting so f64 parity runs match it exactly
+    fdt = jnp.result_type(0.0)
+    log1mp = jnp.log(jnp.asarray(1.0 - all_inliers_probability, fdt))
     # Hypothesis k of the reference is the k-th *match* in slot order; the
     # visit bound i < numberOfHipotesis applies to that match rank.
     rank = jnp.cumsum(matched.astype(jnp.int32)) - 1
@@ -137,7 +149,7 @@ def _adaptive_visit_scan(support: jnp.ndarray, matched: jnp.ndarray,
         visit = (rank[i] < num_hyp) & matched[i]
         s = support[i].astype(jnp.int32)
         better = visit & (s > best_s)
-        e = 1.0 - s.astype(jnp.float32) / jnp.maximum(n_matches, 1)
+        e = 1.0 - s.astype(fdt) / jnp.maximum(n_matches, 1)
         # floor() cast as in the C++ static_cast<int>; clamp against e ~ 0/1
         new_num = jnp.where(
             e <= 0.0, jnp.int32(0),
@@ -163,7 +175,9 @@ def ransac(state: SlamState, pred: Prediction, z: jnp.ndarray,
            matched: jnp.ndarray, camera: Camera, threshold: float,
            all_inliers_probability: float, pixel_error: float,
            max_hypotheses: int = 1000,
-           parity_visit: bool = False) -> RansacResult:
+           parity_visit: bool = False,
+           visit_key: jnp.ndarray | None = None,
+           deadband: bool = False) -> RansacResult:
     """1-point RANSAC over all matched slots (ransac, 1PointRansac.cpp:101-234).
 
     ``parity_visit`` replays the reference's sequential adaptive visit
@@ -172,18 +186,45 @@ def ransac(state: SlamState, pred: Prediction, z: jnp.ndarray,
     better winner (the adaptive bound can only *skip* hypotheses), no
     sequential dependency.  Ties break to the lowest index in both modes,
     matching the reference's strict ``>`` comparison.
+
+    ``visit_key`` (reference_quirks mode) visits hypotheses sorted by the
+    given per-slot key -- pass ``state.birth`` to replay the reference's
+    mapFeatures insertion order (selectRandomMatch takes match i in list
+    order, 1PointRansac.cpp:88-92); None keeps TPU slot order.
+    ``deadband`` applies the reference's DELTA deadband inside the
+    1-point state-only updates (Update.cpp:133-203).
     """
     states_x = _batched_state_only_updates(state, pred, z, matched,
-                                           pixel_error)
+                                           pixel_error, deadband=deadband)
     support, good = _support_counts(states_x, state, camera, z, matched,
                                     threshold)
-    if parity_visit:
-        best_i, best_s, visited = _adaptive_visit_scan(
-            support, matched, all_inliers_probability, max_hypotheses)
+    if visit_key is not None:
+        # visit permutation: matched slots in key order first (stable);
+        # unmatched slots sink to the end and are mask-skipped anyway
+        big = jnp.iinfo(jnp.int32).max
+        perm = jnp.argsort(jnp.where(matched, visit_key, big),
+                           stable=True).astype(jnp.int32)
     else:
-        masked_support = jnp.where(matched, support, -1)
-        best_i = jnp.argmax(masked_support).astype(jnp.int32)
-        best_s = jnp.maximum(masked_support[best_i], 0)
+        perm = None
+    if parity_visit:
+        if perm is not None:
+            best_p, best_s, visited = _adaptive_visit_scan(
+                support[perm], matched[perm], all_inliers_probability,
+                max_hypotheses)
+            best_i = perm[best_p]
+        else:
+            best_i, best_s, visited = _adaptive_visit_scan(
+                support, matched, all_inliers_probability, max_hypotheses)
+    else:
+        if perm is not None:
+            ms = jnp.where(matched[perm], support[perm], -1)
+            best_p = jnp.argmax(ms).astype(jnp.int32)
+            best_s = jnp.maximum(ms[best_p], 0)
+            best_i = perm[best_p]
+        else:
+            masked_support = jnp.where(matched, support, -1)
+            best_i = jnp.argmax(masked_support).astype(jnp.int32)
+            best_s = jnp.maximum(masked_support[best_i], 0)
         visited = jnp.sum(matched.astype(jnp.int32))
 
     # The winning hypothesis's support set is the low-innovation inlier set;

@@ -50,6 +50,14 @@ class SlamState(NamedTuple):
     patch_pose: jnp.ndarray      # (F, 7) f32 camera (r, q) at template
     #                              capture -- the NCC active-search warp
     #                              anchor (zero q = no template stored)
+    birth: jnp.ndarray           # (F,) int32 monotonic insertion stamp --
+    #                              sorting active slots by it recovers the
+    #                              reference's mapFeatures (insertion) order,
+    #                              which its sequential RANSAC visit and
+    #                              one-per-frame conversion scan depend on
+    #                              (1PointRansac.cpp:125-186,
+    #                              MapManagement.cpp:494-523); used by the
+    #                              reference_quirks parity mode
     rng: jnp.ndarray             # jax PRNG key
     frame: jnp.ndarray           # () int32 step counter (EKF._ekfSteps)
 
@@ -139,6 +147,7 @@ def make_initial_state(config: SlamConfig, dtype=jnp.float32) -> SlamState:
         times_matched=jnp.zeros((f,), dtype=jnp.int32),
         descriptors=jnp.zeros((f, desc_words), dtype=desc_dtype),
         patch_pose=jnp.zeros((f, 7), dtype=jnp.float32),
+        birth=jnp.zeros((f,), dtype=jnp.int32),
         rng=jax.random.PRNGKey(config.seed),
         frame=jnp.int32(0),
     )

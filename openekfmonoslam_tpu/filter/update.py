@@ -29,6 +29,9 @@ from openekfmonoslam_tpu.filter import shardable
 from openekfmonoslam_tpu.filter.measure import Prediction, dense_H
 from openekfmonoslam_tpu.filter.state import CAM_DIM, FEAT_DIM, SlamState
 
+# The reference's increment/residual deadband (Update.cpp:133-134, DELTA)
+DELTA = 1.0e-12
+
 
 def masked_innovation(pred: Prediction, z: jnp.ndarray, use: jnp.ndarray,
                       n_total: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -42,7 +45,8 @@ def masked_innovation(pred: Prediction, z: jnp.ndarray, use: jnp.ndarray,
 
 def kalman_update(state: SlamState, pred: Prediction, z: jnp.ndarray,
                   use: jnp.ndarray, pixel_error: float,
-                  update_covariance: bool = True) -> SlamState:
+                  update_covariance: bool = True,
+                  deadband: bool = False) -> SlamState:
     """One joint update step (updateStateAndCovariance, Update.cpp:237-265).
 
     ``use`` marks the slots whose matches participate.  When no slot is
@@ -62,6 +66,10 @@ def kalman_update(state: SlamState, pred: Prediction, z: jnp.ndarray,
     # tests/test_filter.py's dense_H-based oracle).
     m = use[:, None].astype(dtype)
     res = ((z - pred.uv) * m).reshape(-1)
+    if deadband:
+        # stateUpdate zeroes residual components with magnitude <= DELTA
+        # (Update.cpp:133-134); invisible in f32, exact in f64 parity runs
+        res = jnp.where(jnp.abs(res) > DELTA, res, 0.0)
     Hc_m = pred.Hc[:, :, :CAM_DIM] * m[:, :, None]     # (F, 2, 13)
     Hf_m = pred.Hf * m[:, :, None]                     # (F, 2, 6)
     use2 = jnp.repeat(use, 2)                          # (2F,) row mask
@@ -80,10 +88,24 @@ def kalman_update(state: SlamState, pred: Prediction, z: jnp.ndarray,
     r_diag = jnp.where(use2, jnp.asarray(pixel_error, dtype), 1.0)
     S = S + jnp.diag(r_diag)
 
-    # K = P H^T S^-1  computed as  K^T = S^-1 (H P)
-    KT = cho_solve(cho_factor(S, lower=True), HP)      # (2F, N)
+    # K = P H^T S^-1  computed as  K^T = S^-1 (H P).  S^-1 is formed
+    # explicitly (Cholesky against I -- the reference itself inverts S,
+    # Update.cpp:108) and applied as ONE (2F,2F)x(2F,N) matmul instead of
+    # cho_solve(S, HP): identical math, but under P sharding the matmul
+    # contracts over the replicated 2F dim so HP's column sharding flows
+    # through with ZERO communication, where XLA's triangular_solve
+    # partitioner all-gathers the full (2F,N) RHS twice (measured 1.7 MB
+    # of the 2.9 MB/step per-device budget, tools/sharding_diag.py); on
+    # one chip the MXU matmul also beats the sequential solve custom call.
+    eye = jnp.eye(S.shape[0], dtype=dtype)
+    Sinv = cho_solve(cho_factor(S, lower=True), eye)   # (2F, 2F) replicated
+    KT = Sinv @ HP                                     # (2F, N)
 
-    x = state.x + KT.T @ res
+    dx = KT.T @ res
+    if deadband:
+        # ... and skips increments with magnitude <= DELTA (:153-203)
+        dx = jnp.where(jnp.abs(dx) > DELTA, dx, 0.0)
+    x = state.x + dx
     if update_covariance:
         P = P - KT.T @ HP                              # (I - K H) P
     return state._replace(x=x, P=P)
@@ -112,8 +134,9 @@ def finalize_update(state: SlamState, applied: jnp.ndarray) -> SlamState:
 
 
 def update(state: SlamState, pred: Prediction, z: jnp.ndarray,
-           use: jnp.ndarray, pixel_error: float) -> SlamState:
+           use: jnp.ndarray, pixel_error: float,
+           deadband: bool = False) -> SlamState:
     """Full joint update + numerics (update, Update.cpp:282-318)."""
     new = kalman_update(state, pred, z, use, pixel_error,
-                        update_covariance=True)
+                        update_covariance=True, deadband=deadband)
     return finalize_update(new, jnp.any(use))

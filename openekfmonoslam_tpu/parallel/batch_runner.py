@@ -82,6 +82,7 @@ def batch_state_shardings_2d(mesh: Mesh, d_axis: str = "d",
         times_matched=NamedSharding(mesh, d),
         descriptors=NamedSharding(mesh, d),
         patch_pose=NamedSharding(mesh, d),
+        birth=NamedSharding(mesh, d),
         rng=NamedSharding(mesh, d),
         frame=NamedSharding(mesh, d),
     )

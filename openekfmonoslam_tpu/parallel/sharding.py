@@ -47,6 +47,7 @@ def state_shardings(mesh: Mesh, axis: str = "p") -> SlamState:
         times_matched=rep,
         descriptors=rep,
         patch_pose=rep,
+        birth=rep,
         rng=rep,
         frame=rep,
     )
@@ -115,6 +116,7 @@ def state_shardings_2d(mesh: Mesh, axes: tuple = ("p", "q")) -> SlamState:
         times_matched=rep,
         descriptors=rep,
         patch_pose=rep,
+        birth=rep,
         rng=rep,
         frame=rep,
     )

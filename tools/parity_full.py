@@ -86,6 +86,10 @@ def main():
     print("replaying through engine ...")
     engine = replay_through_engine(rt, log)[:, 0:3]
 
+    print("replaying through engine with reference_quirks ...")
+    rt_q = SlamRuntime(dataclasses.replace(cfg, reference_quirks=True))
+    engine_quirks = replay_through_engine(rt_q, log)[:, 0:3]
+
     variants = {
         "oracle_correct": OracleQuirks.none(),
         "oracle_reference": OracleQuirks(),
@@ -96,7 +100,7 @@ def main():
         "ref_minus_deadband": dataclasses.replace(
             OracleQuirks(), deadband=False),
     }
-    trajs = {"engine": engine}
+    trajs = {"engine": engine, "engine_quirks": engine_quirks}
     for name, q in variants.items():
         print(f"replaying {name} ...")
         trajs[name] = np.stack(replay_log(cfg, log, q).trajectory)[:, 0:3]
@@ -113,6 +117,11 @@ def main():
         n = min(len(engine), len(t))
         summary[f"ate_engine_vs_{name}"] = float(
             ate_rmse(engine[:n], t[:n], align=False))
+    # the bug-compatible engine vs the bug-compatible oracle: the
+    # unconditional parity number (machine precision expected)
+    nq = min(len(engine_quirks), len(ref))
+    summary["ate_engine_quirks_vs_oracle_reference"] = float(
+        ate_rmse(engine_quirks[:nq], ref[:nq], align=False))
     # quirk attribution: how much of the engine-vs-reference gap does
     # disabling each quirk in the oracle close?
     for name in ("ref_minus_jacobian_slip", "ref_minus_rho_unrotated",
