@@ -160,7 +160,12 @@ class SlamConfig:
 
     # --- TPU-build-only knobs (no reference counterpart) ---
     max_features: int = 96       # feature slots (static shape)
-    max_keypoints: int = 512     # candidate corners kept per frame
+    # Candidate corners kept per frame.  256 = ~4x the s3 match budget;
+    # the descriptor-plane gathers (~10 ns/element, 8 plane lookups) and
+    # the approx_top_k selection scale linearly with this, ~30 us/frame
+    # between 512 and 256, with identical tracking health on the bundled
+    # runs (golden + drift-checked).
+    max_keypoints: int = 256
     dtype: str = "float32"       # filter dtype ("float64" for golden tests)
     # The reference rasterizes ellipses with half-axes 2*sqrt(eig*chi2_95)
     # (EKFMath.cpp:292-293 + Draw.cpp:55), i.e. the 95% ellipse scaled 2x in

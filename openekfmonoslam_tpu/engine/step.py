@@ -287,8 +287,14 @@ class SlamRuntime:
             # Tracking-healthy frames (matches >= MinMatchesPerImage, the
             # common case) need no new features: the second top-K
             # detection, the zone balancing, and the descriptor lookups
-            # are branched out entirely then (~50 us/frame).
-            def _detect_and_add(state):
+            # are branched out entirely then (~50 us/frame).  Only the
+            # small candidate arrays pass through the cond -- threading
+            # the whole state (with its (N,N) P) through the branch cost
+            # ~20 us/frame of cond carry copies; the state-touching
+            # add_features runs outside, behind its own any(ok) branch.
+            C = cfg.max_features
+
+            def _detect(aux, in_ellipse):
                 out_mask = ~in_ellipse & self._border_mask((h, w))
                 kps2 = fast.detect_keypoints(aux["score_nms"], out_mask,
                                              cfg.max_keypoints)
@@ -300,26 +306,25 @@ class SlamRuntime:
                     jnp.maximum(needed, 0),
                     jnp.asarray(self.exclusion_radius, jnp.float32),
                     self.zones_in_a_row, w, h,
-                    max_new=cfg.max_features)
+                    max_new=C)
                 new_desc = self.frontend.describe(aux,
                                                   kps2.yx[picked.kp_index])
-                add_valid = picked.valid
-                new_slot, new_ok = feat_mod.assign_slots(state.active,
-                                                         add_valid)
-                state = feat_mod.add_features(
-                    state, self.camera, cfg, picked.uv.astype(self.dtype),
-                    new_desc, add_valid)
-                return state, picked.uv.astype(self.dtype), new_ok, new_slot
+                return picked.uv, new_desc, picked.valid
 
-            def _no_add(state):
-                C = cfg.max_features
-                return (state, jnp.zeros((C, 2), self.dtype),
-                        jnp.zeros((C,), bool),
-                        jnp.full((C,), cfg.max_features, jnp.int32))
+            def _no_detect(aux, in_ellipse):
+                desc_shape = (C,) + state.descriptors.shape[1:]
+                return (jnp.zeros((C, 2), jnp.float32),
+                        jnp.zeros(desc_shape, state.descriptors.dtype),
+                        jnp.zeros((C,), bool))
 
-            state, new_uv, new_ok, new_slot = jax.lax.cond(
-                do_mm & (needed > 0), _detect_and_add, _no_add, state)
-            return state, new_uv, new_ok, new_slot
+            cand_uv, cand_desc, cand_valid = jax.lax.cond(
+                do_mm & (needed > 0), _detect, _no_detect, aux, in_ellipse)
+            new_slot, new_ok = feat_mod.assign_slots(state.active,
+                                                     cand_valid)
+            state = feat_mod.add_features(
+                state, self.camera, cfg, cand_uv.astype(self.dtype),
+                cand_desc, cand_valid)
+            return state, cand_uv.astype(self.dtype), new_ok, new_slot
 
     def _step_impl(self, state: SlamState, gray: jnp.ndarray
                    ) -> tuple[SlamState, StepRecord]:

@@ -26,7 +26,7 @@ Jacobians are computed w.r.t. a 7+6 vector and scattered into padded form.
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,13 @@ class Prediction(NamedTuple):
     Hc: jnp.ndarray        # (F, 2, 13) dh/d(camera state); cols 7:13 zero
     Hf: jnp.ndarray        # (F, 2, 6) dh/d(feature slot params)
     S: jnp.ndarray         # (F, 2, 2) innovation covariance (R_i = I)
+    # Shared H P products, assembled ONCE here and reused by the per-slot
+    # S_i above, the 1-point RANSAC's P H^T (P is symmetric), and the
+    # joint updates (masking rows of H commutes with the product, so the
+    # update's masked H P is just a row-masked view) -- one assembly
+    # instead of four per frame.
+    HP: jnp.ndarray        # (2F, N) = H P with the visibility-masked H
+    Sfull: jnp.ndarray     # (2F, 2F) = H P H^T (NO measurement noise)
 
 
 def point_in_camera_frame(cam7: jnp.ndarray, feat: jnp.ndarray,
@@ -140,45 +147,60 @@ def predict_measurements(state: SlamState, camera: Camera,
     feat_dim_mask = jnp.where(state.is_xyz[:, None], first3[None, :], True)
     Hf = Hf * feat_dim_mask[:, None, :].astype(dtype)
 
-    # --- S_i = H_i P H_i^T + I using only the touched P blocks ---
-    S = innovation_covariances(state.P, Hc, Hf)
+    # --- shared H P / H P H^T, then per-slot S_i as diagonal blocks ---
+    HP, Sfull = hp_products(state.P, Hc, Hf)
+    S = diag_blocks_2x2(Sfull) + jnp.eye(2, dtype=dtype)[None, :, :]
     uv = jnp.where(visible[:, None], uv, 0.0)
-    return Prediction(uv=uv, visible=visible, Hc=Hc, Hf=Hf, S=S)
+    return Prediction(uv=uv, visible=visible, Hc=Hc, Hf=Hf, S=S,
+                      HP=HP, Sfull=Sfull)
+
+
+def hp_products(P: jnp.ndarray, Hc: jnp.ndarray, Hf: jnp.ndarray
+                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(H P (2F, N), H P H^T (2F, 2F)) from the block-sparse H.
+
+    H's row block i is [Hc_i | 0 .. Hf_i .. 0], so H P assembles from the
+    camera strip and the per-slot strips instead of a dense
+    (2F, N) x (N, N) product; H P H^T reuses the same structure on the
+    right.  This is the ONE H P assembly per measurement prediction that
+    the per-slot innovation S_i (makeMeasurementCovariance,
+    MeasurementPrediction.cpp:595-658), the RANSAC P H^T, and the joint
+    update all share.
+    """
+    F = Hc.shape[0]
+    end = CAM_DIM + F * FEAT_DIM
+    N = P.shape[0]
+    Pc = P[:CAM_DIM, :]                                  # (13, N)
+    Pf = P[CAM_DIM:end, :].reshape(F, FEAT_DIM, N)
+    HP = (jnp.einsum("fic,cn->fin", Hc[:, :, :CAM_DIM], Pc)
+          + jnp.einsum("fid,fdn->fin", Hf, Pf)).reshape(2 * F, N)
+    S = HP[:, :CAM_DIM] @ Hc[:, :, :CAM_DIM].reshape(2 * F, CAM_DIM).T
+    HPf = HP[:, CAM_DIM:end].reshape(2 * F, F, FEAT_DIM)
+    S = S + jnp.einsum("ajd,jid->aji", HPf, Hf).reshape(2 * F, 2 * F)
+    return HP, S
+
+
+def diag_blocks_2x2(Sfull: jnp.ndarray) -> jnp.ndarray:
+    """(2F, 2F) -> (F, 2, 2) diagonal blocks, as a one-hot contraction
+    (scattered 2x2 gathers cost ~10 ns/element on TPU; the masked matmul
+    runs on the MXU)."""
+    F2 = Sfull.shape[0]
+    F = F2 // 2
+    dtype = Sfull.dtype
+    rows = Sfull.reshape(F, 2, F2)
+    sel = (jnp.arange(F2)[None, None, :]
+           == (2 * jnp.arange(F)[:, None] + jnp.arange(2)[None, :])[:, :, None]
+           ).astype(dtype)                               # (F, 2, 2F) one-hot
+    return jnp.einsum("fin,fjn->fij", rows, sel)
 
 
 def innovation_covariances(P: jnp.ndarray, Hc: jnp.ndarray, Hf: jnp.ndarray
                            ) -> jnp.ndarray:
     """S_i = H_i P H_i^T + I per slot (makeMeasurementCovariance,
     MeasurementPrediction.cpp:595-658; R_i is the 2x2 identity, :647-653).
-
-    Uses only the P blocks H_i touches: the 13x13 camera block, each slot's
-    13x6 cross strip, and its 6x6 diagonal block.
     """
-    F = Hc.shape[0]
-    end = CAM_DIM + F * FEAT_DIM
-    N = P.shape[0]
-    dtype = P.dtype
-    Pcc = P[:CAM_DIM, :CAM_DIM]
-    Pcf = P[:CAM_DIM, CAM_DIM:end].reshape(CAM_DIM, F, FEAT_DIM)
-    Pcf = jnp.moveaxis(Pcf, 1, 0)                        # (F, 13, 6)
-    # per-slot 6x6 diagonal blocks via a one-hot batched contraction on
-    # the MXU.  jnp.diagonal on the (F,6,F,6) view materialized a
-    # [6,6,F,F] transpose (~1.3 MB copied per call); a scattered
-    # 3456-element gather measured ~34 us (TPU gathers are ~10 ns/elem);
-    # the batched one-hot matmul is exact (each output sums true zeros
-    # plus one P entry) and runs in a few us.
-    off = CAM_DIM + FEAT_DIM * jnp.arange(F)
-    sel = (jnp.arange(N)[None, None, :]
-           == (off[:, None] + jnp.arange(FEAT_DIM)[None, :])[:, :, None]
-           ).astype(dtype)                               # (F, 6, N) one-hot
-    Pf_rows = P[CAM_DIM:end, :].reshape(F, FEAT_DIM, N)
-    Pff = jnp.einsum("fin,fjn->fij", Pf_rows, sel)       # (F, 6, 6)
-
-    S = (jnp.einsum("fic,cd,fjd->fij", Hc, Pcc, Hc)
-         + jnp.einsum("fic,fcd,fjd->fij", Hc, Pcf, Hf)
-         + jnp.einsum("fid,fcd,fjc->fij", Hf, Pcf, Hc)
-         + jnp.einsum("fic,fcd,fjd->fij", Hf, Pff, Hf))
-    return S + jnp.eye(2, dtype=dtype)[None, :, :]
+    _, Sfull = hp_products(P, Hc, Hf)
+    return diag_blocks_2x2(Sfull) + jnp.eye(2, dtype=P.dtype)[None, :, :]
 
 
 def dense_H(Hc: jnp.ndarray, Hf: jnp.ndarray, n_total: int = 0

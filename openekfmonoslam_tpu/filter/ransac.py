@@ -67,14 +67,11 @@ def _batched_state_only_updates(state: SlamState, pred: Prediction,
     P = state.P
     dtype = P.dtype
     F = pred.uv.shape[0]
-    N = P.shape[0]
 
-    # P H_i^T for every slot i: (F, N, 2)
-    Pc = P[:, :CAM_DIM]                                  # (N, 13)
-    PHt = jnp.einsum("nc,fic->fni", Pc, pred.Hc)
-    Pslots = P[:, CAM_DIM:CAM_DIM + F * FEAT_DIM].reshape(N, F, FEAT_DIM)
-    Pslots = jnp.moveaxis(Pslots, 1, 0)                  # (F, N, 6)
-    PHt = PHt + jnp.einsum("fnd,fid->fni", Pslots, pred.Hf)
+    # P H_i^T = (H_i P)^T: P is symmetric, so the rows of the shared H P
+    # assembled once in measure.predict_measurements (hp_products) serve
+    # every hypothesis -- no per-call (F, N, 2) re-assembly.
+    HPr = pred.HP.reshape(F, 2, -1)                      # (F, 2, N)
 
     # S_i with the update-path R = pixelError * I (determineKalmanGain,
     # Update.cpp:95-97); pred.S carries R = I, so adjust the diagonal.
@@ -86,9 +83,9 @@ def _batched_state_only_updates(state: SlamState, pred: Prediction,
         # the joint update (Update.cpp:133-203) -- filter/update.py DELTA
         from openekfmonoslam_tpu.filter.update import DELTA
         dz = jnp.where(jnp.abs(dz) > DELTA, dz, 0.0)
-    # K_i dz_i = PHt_i S_i^-1 dz_i
+    # K_i dz_i = (H_i P)^T S_i^-1 dz_i
     sol = _solve2x2(S, dz)                               # (F, 2)
-    dx = jnp.einsum("fni,fi->fn", PHt, sol)              # (F, N)
+    dx = jnp.einsum("fin,fi->fn", HPr, sol)              # (F, N)
     if deadband:
         from openekfmonoslam_tpu.filter.update import DELTA
         dx = jnp.where(jnp.abs(dx) > DELTA, dx, 0.0)

@@ -57,48 +57,42 @@ def kalman_update(state: SlamState, pred: Prediction, z: jnp.ndarray,
     P = state.P
     dtype = P.dtype
     F = pred.uv.shape[0]
-    N = P.shape[0]
 
-    # H is structurally sparse: row block i is [Hc_i | 0 .. Hf_i .. 0], so
-    # H P and H P H^T are assembled from the camera strip and the per-slot
-    # strips instead of a dense (2F, N) x (N, N) product -- ~30x fewer
-    # MXU FLOPs for identical math (the dense equivalence is locked by
-    # tests/test_filter.py's dense_H-based oracle).
+    # H P and H P H^T were assembled ONCE in measure.predict_measurements
+    # (hp_products).  Masking rows of H commutes with the products, so
+    # the update's masked versions are row/column-masked views -- no
+    # re-assembly (the dense equivalence is locked by tests/test_filter.py
+    # 's dense_H-based oracle).
     m = use[:, None].astype(dtype)
     res = ((z - pred.uv) * m).reshape(-1)
     if deadband:
         # stateUpdate zeroes residual components with magnitude <= DELTA
         # (Update.cpp:133-134); invisible in f32, exact in f64 parity runs
         res = jnp.where(jnp.abs(res) > DELTA, res, 0.0)
-    Hc_m = pred.Hc[:, :, :CAM_DIM] * m[:, :, None]     # (F, 2, 13)
-    Hf_m = pred.Hf * m[:, :, None]                     # (F, 2, 6)
     use2 = jnp.repeat(use, 2)                          # (2F,) row mask
-
-    Pc = P[:CAM_DIM, :]                                # (13, N)
-    Pf = P[CAM_DIM:CAM_DIM + FEAT_DIM * F, :].reshape(F, FEAT_DIM, N)
-    HP = (jnp.einsum("fic,cn->fin", Hc_m, Pc)
-          + jnp.einsum("fid,fdn->fin", Hf_m, Pf)).reshape(2 * F, N)
-
-    S = HP[:, :CAM_DIM] @ Hc_m.reshape(2 * F, CAM_DIM).T
-    HPf = HP[:, CAM_DIM:CAM_DIM + FEAT_DIM * F].reshape(2 * F, F, FEAT_DIM)
-    S = S + jnp.einsum("ajd,jid->aji", HPf, Hf_m).reshape(2 * F, 2 * F)
+    u2 = use2.astype(dtype)
+    HP = pred.HP * u2[:, None]                         # (2F, N)
+    S = pred.Sfull * (u2[:, None] * u2[None, :])
     # R = pixelError * I on used rows (Update.cpp:95-97); identity rows for
     # masked slots keep S SPD without affecting the result.  Masked slots'
-    # S rows/cols are already zero (Hc_m/Hf_m carry the mask).
+    # S rows/cols are already zero (the row mask above).
     r_diag = jnp.where(use2, jnp.asarray(pixel_error, dtype), 1.0)
     S = S + jnp.diag(r_diag)
 
     # K = P H^T S^-1  computed as  K^T = S^-1 (H P).  S^-1 is formed
-    # explicitly (Cholesky against I -- the reference itself inverts S,
-    # Update.cpp:108) and applied as ONE (2F,2F)x(2F,N) matmul instead of
-    # cho_solve(S, HP): identical math, but under P sharding the matmul
-    # contracts over the replicated 2F dim so HP's column sharding flows
-    # through with ZERO communication, where XLA's triangular_solve
-    # partitioner all-gathers the full (2F,N) RHS twice (measured 1.7 MB
-    # of the 2.9 MB/step per-device budget, tools/sharding_diag.py); on
-    # one chip the MXU matmul also beats the sequential solve custom call.
-    eye = jnp.eye(S.shape[0], dtype=dtype)
-    Sinv = cho_solve(cho_factor(S, lower=True), eye)   # (2F, 2F) replicated
+    # explicitly (the reference itself inverts S, Update.cpp:108) and
+    # applied as ONE (2F,2F)x(2F,N) matmul instead of cho_solve(S, HP):
+    # identical math, but under P sharding the matmul contracts over the
+    # replicated 2F dim so HP's column sharding flows through with ZERO
+    # communication, where XLA's triangular_solve partitioner all-gathers
+    # the full (2F,N) RHS twice (measured 1.7 MB of the 2.9 MB/step
+    # per-device budget, tools/sharding_diag.py).  ops/sinv.py picks the
+    # one-launch Pallas Newton-Schulz kernel on TPU f32 (the Cholesky +
+    # solve custom-call chain measured ~104 us/frame); r_diag >=
+    # min(pixelError, 1) floors lambda_min, which the kernel exploits.
+    from openekfmonoslam_tpu.ops.sinv import spd_inverse
+    lam_floor = min(float(pixel_error), 1.0)
+    Sinv = spd_inverse(S, lam_floor=lam_floor)         # (2F, 2F) replicated
     KT = Sinv @ HP                                     # (2F, N)
 
     dx = KT.T @ res
