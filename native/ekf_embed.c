@@ -135,9 +135,17 @@ int ekf_embed_state(void *h, double *out, int max_n) {
     PyObject *host = (PyObject *)h;
     PyObject *res = PyObject_CallMethod(host, "state", "i", max_n);
     if (!res) { PyErr_Print(); return -1; }
+    /* the bootstrap slices to max_n on the Python side, but the caller's
+       buffer bound must not depend on that: clamp in C and reject
+       non-bytes results before touching the payload */
+    if (!PyBytes_Check(res)) { Py_DECREF(res); return -1; }
+    const char *buf = PyBytes_AsString(res);
+    if (!buf) { Py_DECREF(res); return -1; }
     Py_ssize_t nb = PyBytes_Size(res);
     int n = (int)(nb / (Py_ssize_t)sizeof(double));
-    memcpy(out, PyBytes_AsString(res), n * sizeof(double));
+    if (n > max_n) n = max_n;
+    if (n < 0) n = 0;
+    memcpy(out, buf, (size_t)n * sizeof(double));
     Py_DECREF(res);
     return n;
 }

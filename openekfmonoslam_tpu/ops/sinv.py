@@ -17,13 +17,14 @@ entirely on the MXU in one launch.  Why this works here:
     (lambda_floor + ||S||_inf), 2), and |1 - lambda| contracts
     quadratically from ~(1 - 2/cond).  Measured cond(S) on the bundled
     runs is ~1e2 (the r floor); N_ITERS covers cond through ~1e4.
-  * Iteration matmuls run at 3-pass bf16 (Precision.HIGH, ~f32
-    products): single-pass bf16 was measured to DESTROY convergence --
-    rounding S to bf16 perturbs its spectrum by ~0.8% of lambda_max,
-    which drives the unit-scale eigenvalues of a cond ~ 1e2-1e4 S
-    negative and Newton-Schulz diverges outside (0, 2).  The final
-    F32_POLISH steps run 6-pass (HIGHEST); converged iterates are fixed
-    points and each polish step squares the residual, landing at the
+  * Iteration matmuls run with a two-term bf16 split of S (spectrum
+    preserved to 2^-16 -- plain bf16 rounding of S was measured to
+    destroy SPD and diverge) against a single-bf16 X: 3 MXU passes per
+    iteration instead of HIGHEST's 12.  The bf16-X scheme is
+    contractive while cond(S) <~ 1/eps_bf16; an in-kernel
+    HIGHEST-precision residual probe catches the (never yet observed)
+    high-cond spike and reruns full-precision Newton-Schulz from the
+    provably-contractive init.  F32_POLISH HIGHEST steps finish at the
     ~cond * eps f32 floor -- the same class as Cholesky-solve.
 
 `spd_inverse` picks this kernel on TPU float32 and falls back to
@@ -37,9 +38,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
-N_ITERS = 18          # total; covers cond(S) ~ 1e4 with margin
-F32_POLISH = 3        # final full-f32 iterations
+N_ITERS = 12          # happy-path total; the residual-gated
+                      # rescue loop covers any higher cond
+F32_POLISH = 2        # final full-f32 (HIGHEST) iterations
 _LANE = 128
 
 
@@ -64,12 +68,29 @@ def _sinv_kernel(s_ref, out_ref, x_ref, lam_floor: float, n_iters: int,
     two_eye = 2.0 * eye
     x_ref[:] = c * eye
 
+    # Two-term bf16 split of S for the cheap iterations: S_hi + S_lo
+    # carries ~16 mantissa bits, so the spectrum of the PRODUCT operand
+    # is preserved to ~2^-16 * lambda_max << lambda_floor -- the failure
+    # mode of plain bf16 (spectrum perturbed by ~0.8% of lambda_max,
+    # driving unit-scale eigenvalues negative) cannot occur.  X itself
+    # rides single bf16: Newton-Schulz is self-correcting, and the
+    # HIGHEST-precision polish steps square away the ~4e-3 bf16 floor.
+    S_hi = S.astype(jnp.bfloat16)
+    S_lo = (S - S_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
     def body_main(_, carry):
-        t = two_eye - jnp.dot(S, x_ref[:],
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-        x_ref[:] = jnp.dot(x_ref[:], t, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+        # precision pinned to DEFAULT: the engine wraps the step in
+        # jax.default_matmul_precision("high"), which Mosaic rejects,
+        # and bf16 operands want exactly one MXU pass anyway
+        prec = jax.lax.Precision.DEFAULT
+        xb = x_ref[:].astype(jnp.bfloat16)
+        sx = (jnp.dot(S_hi, xb, preferred_element_type=jnp.float32,
+                      precision=prec)
+              + jnp.dot(S_lo, xb, preferred_element_type=jnp.float32,
+                        precision=prec))
+        t = (two_eye - sx).astype(jnp.bfloat16)
+        x_ref[:] = jnp.dot(xb, t, preferred_element_type=jnp.float32,
+                           precision=prec)
         return carry
 
     def body_f32(_, carry):
@@ -83,7 +104,28 @@ def _sinv_kernel(s_ref, out_ref, x_ref, lam_floor: float, n_iters: int,
         return carry
 
     jax.lax.fori_loop(0, n_iters - f32_polish, body_main, 0)
-    jax.lax.fori_loop(0, f32_polish, body_f32, 0)
+
+    # First polish step, with its T = 2I - S X doubling as a FREE
+    # convergence probe: max|T - I| is the Newton residual.  The bf16-X
+    # iteration is only contractive while cond(S) stays below
+    # ~1/eps_bf16 and N_ITERS only covers cond ~1e2-1e3; measured update
+    # conditioning is ~1e2, but a tracking-stress frame could spike it,
+    # and a silently diverged/unconverged S^-1 would destroy P.  The
+    # rescue branch restarts from the provably-contractive init and runs
+    # full-precision Newton-Schulz, which converges for ANY SPD S with
+    # these spectrum bounds.
+    t1 = two_eye - jnp.dot(S, x_ref[:], preferred_element_type=jnp.float32,
+                           precision=jax.lax.Precision.HIGHEST)
+    bad = jnp.max(jnp.abs(t1 - eye)) > 0.05
+    x_ref[:] = jnp.dot(x_ref[:], t1, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(bad)
+    def _():
+        x_ref[:] = c * eye
+        jax.lax.fori_loop(0, 20, body_f32, 0)
+
+    jax.lax.fori_loop(0, f32_polish - 1, body_f32, 0)
     out_ref[:] = x_ref[:]
 
 
@@ -94,9 +136,6 @@ def sinv_pallas(S: jnp.ndarray, lam_floor: float = 1.0,
                 f32_polish: int = F32_POLISH) -> jnp.ndarray:
     """Newton-Schulz SPD inverse on the MXU; S (M, M) float32 with
     lambda_min(S) >= lam_floor > 0."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
     m = S.shape[0]
     mp = _pad_to_tile(m)
     if mp != m:
