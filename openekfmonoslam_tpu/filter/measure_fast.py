@@ -254,14 +254,22 @@ def measurements_with_jacobians(camera: Camera, cam7: jnp.ndarray,
     hf_cols.append((inv * pR_off[0], inv * pR_off[1]))
 
     F = feats.shape[0]
-    Hc7 = jnp.stack([
-        jnp.stack([dh_dr[0 * 2 + i], dh_dr[1 * 2 + i], dh_dr[2 * 2 + i],
-                   dh_dq[0][i], dh_dq[1][i], dh_dq[2][i], dh_dq[3][i]],
-                  axis=-1)
-        for i in range(2)], axis=1)                     # (F, 2, 7)
-    Hf = jnp.stack([
-        jnp.stack([hf_cols[j][i] for j in range(6)], axis=-1)
-        for i in range(2)], axis=1)                     # (F, 2, 6)
+    # ONE flat stack per output, reshaped -- the nested per-row stacks
+    # compiled to a cascade of small concatenate/transpose kernels
+    # (~14 us/frame of the dispatch tail); a single (F, 14) stack is one
+    # kernel and the reshape is free
+    Hc7 = jnp.stack(
+        [dh_dr[0], dh_dr[2], dh_dr[4],
+         dh_dq[0][0], dh_dq[1][0], dh_dq[2][0], dh_dq[3][0],
+         dh_dr[1], dh_dr[3], dh_dr[5],
+         dh_dq[0][1], dh_dq[1][1], dh_dq[2][1], dh_dq[3][1]],
+        axis=-1).reshape(F, 2, 7)
+    Hf = jnp.stack(
+        [hf_cols[0][0], hf_cols[1][0], hf_cols[2][0],
+         hf_cols[3][0], hf_cols[4][0], hf_cols[5][0],
+         hf_cols[0][1], hf_cols[1][1], hf_cols[2][1],
+         hf_cols[3][1], hf_cols[4][1], hf_cols[5][1]],
+        axis=-1).reshape(F, 2, 6)
     return uv, Hc7, Hf
 
 
