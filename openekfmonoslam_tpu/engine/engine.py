@@ -191,6 +191,9 @@ class SlamEngine:
         record = self._record_to_dict(rec, dt)
         if phase_times is not None:
             record["phase_times_us"] = phase_times
+            # live per-phase bracketing -- genuinely measured values
+            # (the reference Timer semantics, EKF.cpp:255-618)
+            record["phase_times_source"] = "measured"
         # inverse-depth / XYZ split (State::write's MapFeatures*Count)
         active = np.asarray(self.state.active)
         is_xyz = np.asarray(self.state.is_xyz)

@@ -64,6 +64,10 @@ def records_to_dicts(records, phase_shares=None, frame_time_us=None) -> list:
     ``phase_shares`` (7,) + ``frame_time_us`` optionally attribute the
     scan-mode per-frame budget to the 7 phases (profiler-calibrated shares;
     scan mode cannot bracket phases individually inside the fused program).
+    Dicts built this way carry ``phase_times_source = "calibrated-shares"``
+    so downstream consumers can tell attribution from measurement (the
+    reference's channel is per-frame measured, EKF.cpp:255-618; the
+    engine's interactive mode matches that and labels "measured").
     """
     x = np.asarray(records.x_cam, np.float64)
     P = np.asarray(records.P_cam, np.float64)
@@ -90,6 +94,7 @@ def records_to_dicts(records, phase_shares=None, frame_time_us=None) -> list:
             r["phase_times_us"] = {
                 k: float(s) * frame_time_us
                 for k, s in zip(PHASE_KEYS, phase_shares)}
+            r["phase_times_source"] = "calibrated-shares"
         out.append(r)
     return out
 
@@ -112,8 +117,16 @@ def write_output_yml(records, path: str) -> str:
     StateCovarianceMatrixEstimation corner."""
     if not isinstance(records, list):
         records = records_to_dicts(records)
+    source = next((r["phase_times_source"] for r in records
+                   if r.get("phase_times_source")), None)
     with open(path, "w") as f:
         f.write("%YAML:1.0\n")
+        if source is not None:
+            # honesty label for the 7-phase channel: "measured" = live
+            # per-phase bracketing (the reference's Timer semantics),
+            # "calibrated-shares" = scan-mode attribution (calibrated
+            # phase shares x measured fused frame time)
+            f.write(f'PhaseTimesSource: "{source}"\n')
         for r in records:
             pt = r.get("phase_times_us") or {}
             f.write(f'"Frame {r["frame"]}":\n')
@@ -165,9 +178,13 @@ def read_output_yml(path: str) -> list:
                                      for i in range(13)]
         pending_mat, mat_data = None, []
 
+    source = None
     with open(path) as f:
         for line in f:
             s = line.strip()
+            if s.startswith("PhaseTimesSource:"):
+                source = s.split(":", 1)[1].strip().strip('"')
+                continue
             if s.startswith('"Frame'):
                 finish_mat()
                 if cur:
@@ -207,6 +224,8 @@ def read_output_yml(path: str) -> list:
     if cur:
         records.append(cur)
     for r in records:
+        if source is not None and r.get("phase_times_us"):
+            r.setdefault("phase_times_source", source)
         r.setdefault("wall_time_s",
                      sum(r.get("phase_times_us", {}).values()) * 1e-6)
         r.setdefault("hi_inliers", 0)

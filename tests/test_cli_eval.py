@@ -135,14 +135,19 @@ class TestEval:
             eng.step(big[20:140, 20 + i:148 + i])
         eng.close()
 
-        # phase timing: all 7 reference phase keys, strictly positive
+        # phase timing: all 7 reference phase keys, strictly positive,
+        # and labeled as genuinely MEASURED (live per-phase bracketing)
         pt = eng.records[-1]["phase_times_us"]
         assert set(pt) == set(result_reader.PHASE_KEYS)
         assert all(v > 0 for v in pt.values()), pt
+        assert eng.records[-1]["phase_times_source"] == "measured"
+        yml_text = open(tmp_path / "o" / "output.yml").read()
+        assert 'PhaseTimesSource: "measured"' in yml_text
 
         loaded = result_reader.read_output_yml(
             str(tmp_path / "o" / "output.yml"))
         assert len(loaded) == 3
+        assert loaded[-1]["phase_times_source"] == "measured"
         for got, want in zip(loaded, eng.records):
             assert got["total_matches"] == want["total_matches"]
             np.testing.assert_allclose(got["position"], want["position"],
@@ -163,6 +168,36 @@ class TestEval:
         assert times_txt.startswith(
             "function [p, m, ran, li, res, hi, map] = timesCpu()")
         assert " = [" in times_txt
+
+    def test_scan_mode_phase_times_labeled_attributed(self, tmp_path):
+        """Scan-mode phase timings are calibration-ATTRIBUTED (phase
+        shares x fused frame time -- the fused lax.scan cannot be
+        bracketed per phase from the host) and output.yml must say so
+        (VERDICT r3 #8): the reference channel carries real per-frame
+        measurements (EKF.cpp:255-618), so attributed values need an
+        explicit label."""
+        from openekfmonoslam_tpu.eval import result_reader as rr
+
+        # build scan-style dicts directly through the public helper
+        import types
+        rec = types.SimpleNamespace(
+            x_cam=np.zeros((2, 13)), P_cam=np.zeros((2, 13, 13)),
+            total_matches=np.asarray([3, 4]),
+            li_inliers=np.asarray([2, 3]), hi_inliers=np.asarray([1, 1]),
+            n_active=np.asarray([5, 5]))
+        shares = np.asarray([0.3, 0.2, 0.1, 0.1, 0.1, 0.1, 0.1])
+        out = rr.records_to_dicts(rec, phase_shares=shares,
+                                  frame_time_us=1000.0)
+        assert all(r["phase_times_source"] == "calibrated-shares"
+                   for r in out)
+        path = str(tmp_path / "output.yml")
+        rr.write_output_yml(out, path)
+        text = open(path).read()
+        assert 'PhaseTimesSource: "calibrated-shares"' in text
+        loaded = rr.read_output_yml(path)
+        assert loaded[0]["phase_times_source"] == "calibrated-shares"
+        assert loaded[0]["phase_times_us"]["Prediction"] == pytest.approx(
+            300.0, abs=0.1)
 
     def test_phase_timed_step_equals_fused_step(self, tmp_path):
         """The 7-phase split path must produce the same filter math as the
