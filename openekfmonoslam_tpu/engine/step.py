@@ -243,6 +243,57 @@ class SlamRuntime:
                                   self.config.camera.pixel_error_x,
                                   deadband=self.quirks)
 
+    def mapman_maintain(self, state: SlamState, pred, m, inliers_all
+                        ) -> tuple[SlamState, jnp.ndarray, jnp.ndarray]:
+        """Map maintenance minus the rare paths: counters + bad-ratio and
+        unseen-pressure culls (MapManagement.cpp:74-307, EKF.cpp:567-586).
+        Returns (state, do_mm, needed); every op is mask arithmetic, so
+        this part vmaps cleanly (parallel/batch_runner)."""
+        cfg = self.config
+        ekf = cfg.ekf
+        state = mapman.update_counters(state, pred.visible, inliers_all,
+                                       m.desc, m.refreshed)
+        do_mm = jnp.logical_and(
+            ekf.map_management_frequency > 0,
+            state.frame % max(ekf.map_management_frequency, 1) == 0)
+        needed = jnp.int32(ekf.min_matches_per_image) - jnp.sum(
+            inliers_all.astype(jnp.int32))
+
+        # remove low-ratio features (removeBadMapFeatures)
+        bad = mapman.bad_feature_mask(
+            state, ekf.good_feature_matching_percent)
+        state = mapman.remove_features(state, bad & do_mm)
+
+        # remove unseen under pressure (EKF.cpp:582-586)
+        pressure = mapman.map_pressure(
+            state, needed, ekf.always_remove_unseen_map_features,
+            ekf.max_map_features_count, ekf.max_map_size)
+        unseen = state.active & ~pred.visible
+        state = mapman.remove_features(state, unseen & pressure & do_mm)
+        return state, do_mm, needed
+
+    def detect_candidates(self, state: SlamState, pred, aux, in_ellipse,
+                          needed):
+        """New-feature detection + zone balancing + description, NO gate
+        (detectNewImageFeatures, DetectNewImageFeatures.cpp:323-419).
+        Returns (uv (C,2) f32, desc (C,W), valid (C,) bool)."""
+        cfg = self.config
+        h, w = aux["score_nms"].shape
+        out_mask = ~in_ellipse & self._border_mask((h, w))
+        kps2 = fast.detect_keypoints(aux["score_nms"], out_mask,
+                                     cfg.max_keypoints)
+        kp2_xy = jnp.stack([kps2.yx[:, 1], kps2.yx[:, 0]],
+                           axis=-1).astype(jnp.float32)
+        picked = detect.select_zone_balanced(
+            kp2_xy, kps2.score, kps2.valid,
+            pred.uv.astype(jnp.float32), pred.visible,
+            jnp.maximum(needed, 0),
+            jnp.asarray(self.exclusion_radius, jnp.float32),
+            self.zones_in_a_row, w, h,
+            max_new=cfg.max_features)
+        new_desc = self.frontend.describe(aux, kps2.yx[picked.kp_index])
+        return picked.uv, new_desc, picked.valid
+
     def phase_mapman(self, state: SlamState, pred, m, inliers_all, aux,
                      in_ellipse):
         """[7] map management ('MapManagement', EKF.cpp:546-612): counters,
@@ -252,29 +303,9 @@ class SlamRuntime:
         with jax.default_matmul_precision(self.config.matmul_precision):
             cfg = self.config
             ekf = cfg.ekf
-            h, w = aux["score_nms"].shape
 
-            state = mapman.update_counters(state, pred.visible, inliers_all,
-                                           m.desc, m.refreshed)
-
-            do_mm = jnp.logical_and(
-                ekf.map_management_frequency > 0,
-                state.frame % max(ekf.map_management_frequency, 1) == 0)
-            needed = jnp.int32(ekf.min_matches_per_image) - jnp.sum(
-                inliers_all.astype(jnp.int32))
-
-            # remove low-ratio features (removeBadMapFeatures)
-            bad = mapman.bad_feature_mask(
-                state, ekf.good_feature_matching_percent)
-            state = mapman.remove_features(state, bad & do_mm)
-
-            # remove unseen under pressure (EKF.cpp:582-586)
-            pressure = mapman.map_pressure(
-                state, needed, ekf.always_remove_unseen_map_features,
-                ekf.max_map_features_count, ekf.max_map_size)
-            unseen = state.active & ~pred.visible
-            state = mapman.remove_features(state,
-                                           unseen & pressure & do_mm)
+            state, do_mm, needed = self.mapman_maintain(
+                state, pred, m, inliers_all)
 
             # convert at most one inverse-depth feature to XYZ (gated
             # inline -- a lax.cond here costs ~36 un-fusable kernels)
@@ -295,21 +326,8 @@ class SlamRuntime:
             C = cfg.max_features
 
             def _detect(aux, in_ellipse):
-                out_mask = ~in_ellipse & self._border_mask((h, w))
-                kps2 = fast.detect_keypoints(aux["score_nms"], out_mask,
-                                             cfg.max_keypoints)
-                kp2_xy = jnp.stack([kps2.yx[:, 1], kps2.yx[:, 0]],
-                                   axis=-1).astype(jnp.float32)
-                picked = detect.select_zone_balanced(
-                    kp2_xy, kps2.score, kps2.valid,
-                    pred.uv.astype(jnp.float32), pred.visible,
-                    jnp.maximum(needed, 0),
-                    jnp.asarray(self.exclusion_radius, jnp.float32),
-                    self.zones_in_a_row, w, h,
-                    max_new=C)
-                new_desc = self.frontend.describe(aux,
-                                                  kps2.yx[picked.kp_index])
-                return picked.uv, new_desc, picked.valid
+                return self.detect_candidates(state, pred, aux, in_ellipse,
+                                              needed)
 
             def _no_detect(aux, in_ellipse):
                 desc_shape = (C,) + state.descriptors.shape[1:]

@@ -128,6 +128,22 @@ def convert_one_to_xyz(state: SlamState, threshold: float,
     the cheap eligibility scan always runs, the P surgery is branched on
     the (rare) trigger below.
     """
+    do, slot = conversion_candidate(state, threshold, order_key)
+    do = do & jnp.asarray(enable)
+    # conversions are rare (<=1 slot, only when the linearity index dips):
+    # branch the P/x surgery on ``do`` so non-converting frames skip the
+    # ~5 full-P traffic passes below (the cheap eligibility scan above
+    # runs every frame)
+    return jax.lax.cond(
+        do, lambda st: _convert_slot(st, slot), lambda st: st, state)
+
+
+def conversion_candidate(state: SlamState, threshold: float,
+                         order_key: jnp.ndarray | None = None
+                         ) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(eligible, slot): the cheap eligibility scan, exposed so batched
+    runners can gate the expensive P surgery at batch level
+    (parallel/batch_runner.batched_step)."""
     li = linearity_index(state)
     below = li < threshold
     if order_key is None:
@@ -138,16 +154,11 @@ def convert_one_to_xyz(state: SlamState, threshold: float,
         # 494-523) -- pass state.birth to pick the oldest eligible slot
         big = jnp.iinfo(jnp.int32).max
         slot = jnp.argmin(jnp.where(below, order_key, big))
-    do = jnp.any(below) & jnp.asarray(enable)
-    # conversions are rare (<=1 slot, only when the linearity index dips):
-    # branch the P/x surgery on ``do`` so non-converting frames skip the
-    # ~5 full-P traffic passes below (the cheap eligibility scan above
-    # runs every frame)
-    return jax.lax.cond(
-        do, lambda st: _convert_slot(st, slot), lambda st: st, state)
+    return jnp.any(below), slot
 
 
-def _convert_slot(state: SlamState, slot: jnp.ndarray) -> SlamState:
+def _convert_slot(state: SlamState, slot: jnp.ndarray,
+                  enable=True) -> SlamState:
 
     dtype = state.P.dtype
     feats = state.features
@@ -194,6 +205,17 @@ def _convert_slot(state: SlamState, slot: jnp.ndarray) -> SlamState:
 
     feat_new = jnp.concatenate([xyz, jnp.zeros((3,), dtype=dtype)])
     x_new = jax.lax.dynamic_update_slice(state.x, feat_new, (off,))
+
+    if enable is not True:
+        # masked variant (vmapped batch path, where per-stream lax.cond
+        # would execute both branches anyway): where(False, new, old)
+        # is bit-exact pass-through
+        en = jnp.asarray(enable)
+        P_new = jnp.where(en, P_new, P)
+        x_new = jnp.where(en, x_new, state.x)
+        is_xyz = jnp.where(en, state.is_xyz.at[slot].set(True),
+                           state.is_xyz)
+        return state._replace(x=x_new, P=P_new, is_xyz=is_xyz)
 
     return state._replace(
         x=x_new,

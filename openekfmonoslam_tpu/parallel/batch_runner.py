@@ -23,6 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from openekfmonoslam_tpu.engine.step import SlamRuntime
+from openekfmonoslam_tpu.filter import features as feat_mod
 from openekfmonoslam_tpu.filter.state import SlamState
 
 
@@ -53,9 +54,95 @@ def make_batched_init(runtime: SlamRuntime, mesh: Mesh | None = None,
     return jax.jit(f, in_shardings=(sh, sh), out_shardings=sh)
 
 
+def batched_step(runtime: SlamRuntime, states: SlamState,
+                 grays: jnp.ndarray):
+    """The frame step over a leading (B,) stream axis, rare paths gated at
+    BATCH level.
+
+    ``jax.vmap(runtime.step)`` degrades every per-stream ``lax.cond`` to
+    executing BOTH branches under a batched predicate, so the batched
+    program re-pays the rare-path work (second detection + zone balance,
+    feature-addition covariance growth, conversion P surgery) on EVERY
+    frame for EVERY stream -- measured as the round-3 stream-DP ceiling
+    (aggregate 1.1-1.4x a single stream, BASELINE.md).  Here the dense
+    phases are vmapped as-is and each rare path sits behind ONE
+    ``lax.cond`` on the batch-reduced trigger: it runs (masked per
+    stream) only when ANY stream needs it.  Per-stream results are
+    bit-exact to vmap(step): a masked rare path applies
+    ``where(False, new, old)`` pass-throughs, and a skipped one is
+    skipped for every stream exactly when no stream triggers
+    (tests/test_batch_runner.py locks the equality).
+    """
+    rt = runtime
+    cfg = rt.config
+    ekf = cfg.ekf
+    C = cfg.max_features
+
+    with jax.default_matmul_precision(cfg.matmul_precision):
+        states, pred = jax.vmap(rt.phase_predict)(states)
+        m, aux, in_ellipse = jax.vmap(rt.phase_match)(states, pred, grays)
+        res = jax.vmap(rt.phase_ransac)(states, pred, m)
+        states = jax.vmap(rt.phase_update_li)(states, pred, m, res.inliers)
+        pred2, rescued = jax.vmap(rt.phase_rescue)(states, m, res.outliers)
+        states = jax.vmap(rt.phase_update_hi)(states, pred2, m, rescued)
+        inliers_all = res.inliers | rescued
+
+        states, do_mm, needed = jax.vmap(rt.mapman_maintain)(
+            states, pred, m, inliers_all)
+
+        # conversion: cheap eligibility scan per stream, P surgery only
+        # when any stream converts (masked per stream inside)
+        from openekfmonoslam_tpu.filter import mapman
+        thr = ekf.inverse_depth_linearity_index_threshold
+        conv, slots_c = jax.vmap(
+            lambda st: mapman.conversion_candidate(
+                st, thr, order_key=st.birth if rt.quirks else None))(states)
+        conv = conv & do_mm
+        states = jax.lax.cond(
+            jnp.any(conv),
+            lambda ss: jax.vmap(
+                lambda st, sl, en: mapman._convert_slot(st, sl, enable=en)
+            )(ss, slots_c, conv),
+            lambda ss: ss, states)
+
+        # detection + addition: only when any stream fell short
+        flags = do_mm & (needed > 0)
+        desc_shape = (C,) + states.descriptors.shape[2:]
+
+        def _detect_all(_):
+            uv, desc, valid = jax.vmap(rt.detect_candidates)(
+                states, pred, aux, in_ellipse, needed)
+            return uv, desc, valid & flags[:, None]
+
+        def _no_detect(_):
+            B = grays.shape[0]
+            return (jnp.zeros((B, C, 2), jnp.float32),
+                    jnp.zeros((B,) + desc_shape, states.descriptors.dtype),
+                    jnp.zeros((B, C), bool))
+
+        cand_uv, cand_desc, cand_valid = jax.lax.cond(
+            jnp.any(flags), _detect_all, _no_detect, None)
+        new_slot, new_ok = jax.vmap(feat_mod.assign_slots)(
+            states.active, cand_valid)
+        states = jax.lax.cond(
+            jnp.any(new_ok),
+            lambda ss: jax.vmap(
+                lambda st, uv, de, sl, ok: feat_mod._add_features_impl(
+                    st, rt.camera, cfg, uv.astype(rt.dtype), de, sl, ok)
+            )(ss, cand_uv, cand_desc, new_slot, new_ok),
+            lambda ss: ss, states)
+
+        records = jax.vmap(rt.make_record)(
+            states, pred, m, res, rescued,
+            cand_uv.astype(rt.dtype), new_ok, new_slot)
+        return states, records
+
+
 def make_batched_step(runtime: SlamRuntime, mesh: Mesh | None = None,
                       axis: str = "d"):
-    f = jax.vmap(runtime.step)
+    def f(states, grays):
+        return batched_step(runtime, states, grays)
+
     if mesh is None:
         return jax.jit(f)
     sh = NamedSharding(mesh, P(axis))
@@ -93,7 +180,10 @@ def make_batched_step_2d(runtime: SlamRuntime, mesh: Mesh,
     """vmapped step jitted with the 2-axis (stream x covariance) layout."""
     sh_state = batch_state_shardings_2d(mesh, d_axis, p_axis)
     sh_frames = NamedSharding(mesh, P(d_axis))
-    f = jax.vmap(runtime.step)
+
+    def f(states, grays):
+        return batched_step(runtime, states, grays)
+
     return jax.jit(f, in_shardings=(sh_state, sh_frames),
                    out_shardings=(sh_state, NamedSharding(mesh, P(d_axis))))
 
@@ -104,10 +194,8 @@ def scan_batched_sequences(runtime: SlamRuntime, states: SlamState,
     """Device-resident run of B sequences: lax.scan over time of the
     vmapped step.  ``frames`` is (B, T, H, W); returns (final states,
     stacked per-frame records with leading (T, B) axes)."""
-    step = jax.vmap(runtime.step)
-
     def body(carry, frame_t):
-        s, rec = step(carry, frame_t)
+        s, rec = batched_step(runtime, carry, frame_t)
         return s, rec
 
     frames_tb = jnp.swapaxes(frames, 0, 1)          # (T, B, H, W)

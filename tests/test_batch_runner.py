@@ -126,3 +126,65 @@ class TestMultihostHelpers:
         assert mesh.shape["d"] == 1
         assert mesh.shape["p"] == len(jax.devices())
         assert multihost.local_batch_slice(8) == slice(0, 8)
+
+
+class TestRarePathGating:
+    def test_second_detection_only_inside_batch_cond(self, rt):
+        """VERDICT r3 #5: the compiled batched program must not
+        double-execute the rare paths.  Structural check on the jaxpr:
+        the TOP-LEVEL batched step contains exactly ONE ungated top-K
+        detection (the matching phase's); the new-feature detection, the
+        feature-addition covariance growth, and the conversion P surgery
+        live inside lax.cond branches gated on batch-level triggers."""
+        import jax
+
+        from openekfmonoslam_tpu.parallel.batch_runner import (
+            batched_step, make_batch_states)
+
+        B = 3
+        states = make_batch_states(rt, B, seeds=range(B))
+        grays = jnp.zeros((B, rt.config.camera.pixels_y,
+                           rt.config.camera.pixels_x), jnp.uint8)
+        jaxpr = jax.make_jaxpr(
+            lambda s, g: batched_step(rt, s, g))(states, grays)
+
+        def count_prim(jx, name):
+            """Occurrences of primitive ``name``, NOT descending into
+            cond branches -- that exclusion is the point of the test."""
+            n = 0
+            for eqn in jx.eqns:
+                if eqn.primitive.name == name:
+                    n += 1
+                if eqn.primitive.name == "cond":
+                    continue
+                for sub in eqn.params.values():
+                    if hasattr(sub, "jaxpr"):
+                        n += count_prim(sub.jaxpr, name)
+                    elif isinstance(sub, (tuple, list)):
+                        n += sum(count_prim(b.jaxpr, name) for b in sub
+                                 if hasattr(b, "jaxpr"))
+            return n
+
+        def cond_branches(jx):
+            out = []
+            for eqn in jx.eqns:
+                if eqn.primitive.name == "cond":
+                    out.extend(b.jaxpr for b in eqn.params["branches"])
+                    continue
+                for sub in eqn.params.values():
+                    if hasattr(sub, "jaxpr"):
+                        out.extend(cond_branches(sub.jaxpr))
+                    elif isinstance(sub, (tuple, list)):
+                        for b in sub:
+                            if hasattr(b, "jaxpr"):
+                                out.extend(cond_branches(b.jaxpr))
+            return out
+
+        top = jaxpr.jaxpr
+        # exactly one ungated detection top-K (phase_match's); the
+        # second (new-feature) detection must NOT be in the top level
+        assert count_prim(top, "approx_top_k") == 1
+        # and it MUST exist inside some cond branch
+        in_branches = sum(count_prim(b, "approx_top_k")
+                          for b in cond_branches(top))
+        assert in_branches >= 1
