@@ -34,7 +34,13 @@ def _is_static(v) -> bool:
 
 def place_rows(P: jnp.ndarray, rows: jnp.ndarray, start) -> jnp.ndarray:
     """P with rows[start : start+k, :] <- ``rows`` (k, N); ``start`` may be
-    traced.  Equal to lax.dynamic_update_slice(P, rows, (start, 0)).
+    traced.  Equal to lax.dynamic_update_slice(P, rows, (start, 0)) FOR
+    IN-RANGE starts (0 <= start <= N - k, which every call site
+    guarantees: slot offsets are CAM_DIM + 6*slot with slot < F).  A
+    traced start beyond N - k would write a truncated, index-shifted
+    block where DUS clamps the start to keep the whole block -- don't
+    rely on this helper for clamping semantics (same for place_cols /
+    place_block below).
 
     Static starts use zero-pad + select (XLA fuses the pad; the gather
     form materialized a full (N, N) intermediate, ~30 us each on v5e);

@@ -60,21 +60,31 @@ def extract_patches_bilinear(smoothed: jnp.ndarray, yx: jnp.ndarray,
     """
     h, w = smoothed.shape
     img = smoothed.astype(jnp.float32)
-    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    yf = yx[:, 0:1].astype(jnp.float32) + d[None, :]          # (K, P)
-    xf = yx[:, 1:2].astype(jnp.float32) + d[None, :]
-    y0 = jnp.clip(jnp.floor(yf), 0, h - 2).astype(jnp.int32)
-    x0 = jnp.clip(jnp.floor(xf), 0, w - 2).astype(jnp.int32)
-    ay = jnp.clip(yf - y0.astype(jnp.float32), 0.0, 1.0)      # (K, P)
-    ax = jnp.clip(xf - x0.astype(jnp.float32), 0.0, 1.0)
+    P = 2 * radius + 1
+    # The sample grid is the subpixel center plus INTEGER offsets, so the
+    # fractional part is one scalar per keypoint per axis: slice a
+    # (P+1, P+1) window per keypoint (vmapped dynamic_slice -- a DMA,
+    # not a scattered gather: the per-element gather form measured
+    # ~10 ns/element, ~0.9 ms/frame at K=96) and bilinear-blend its four
+    # shifted sub-views with those scalar weights.
+    yf = yx[:, 0].astype(jnp.float32)
+    xf = yx[:, 1].astype(jnp.float32)
+    y0 = jnp.clip(jnp.floor(yf).astype(jnp.int32) - radius, 0, h - P - 1)
+    x0 = jnp.clip(jnp.floor(xf).astype(jnp.int32) - radius, 0, w - P - 1)
+    # fractional weights relative to the clipped window origin: exact
+    # bilinear everywhere the window wasn't clipped (keypoints are
+    # border-masked beyond the patch radius anyway)
+    ay = jnp.clip(yf - radius - y0.astype(jnp.float32), 0.0, 1.0)[:, None,
+                                                                 None]
+    ax = jnp.clip(xf - radius - x0.astype(jnp.float32), 0.0, 1.0)[:, None,
+                                                                  None]
 
-    def corner(dy, dx):
-        return img[(y0 + dy)[:, :, None], (x0 + dx)[:, None, :]]
-
-    wy0, wy1 = (1.0 - ay)[:, :, None], ay[:, :, None]
-    wx0, wx1 = (1.0 - ax)[:, None, :], ax[:, None, :]
-    patch = (corner(0, 0) * wy0 * wx0 + corner(0, 1) * wy0 * wx1
-             + corner(1, 0) * wy1 * wx0 + corner(1, 1) * wy1 * wx1)
+    win = jax.vmap(lambda y, x: jax.lax.dynamic_slice(
+        img, (y, x), (P + 1, P + 1)))(y0, x0)                 # (K, P+1, P+1)
+    patch = (win[:, :-1, :-1] * (1 - ay) * (1 - ax)
+             + win[:, :-1, 1:] * (1 - ay) * ax
+             + win[:, 1:, :-1] * ay * (1 - ax)
+             + win[:, 1:, 1:] * ay * ax)
     k = patch.shape[0]
     v = patch.reshape(k, -1)
     v = v - jnp.mean(v, axis=-1, keepdims=True)
@@ -178,19 +188,25 @@ def warp_templates(patches: jnp.ndarray, patch_pose: jnp.ndarray,
     sx = u0[..., 0] - c0[:, None, None, 0] + pr            # (F, ps, ps)
     sy = u0[..., 1] - c0[:, None, None, 1] + pr
 
-    # bilinear resample the stored template (edge clamp)
+    # bilinear resample the stored template (edge clamp).  Per-pixel
+    # gathers from T cost ~10 ns/element on TPU (~0.9 ms/frame at F=96,
+    # 4 taps x ps^2); instead the bilinear interpolation is written as
+    # two one-hot interpolation matrices contracted on the MXU:
+    #   warped[p] = sum_{qy,qx} Ay[p,qy] T[qy,qx] Ax[p,qx]
+    # with Ay/Ax carrying the two bilinear weights per output pixel --
+    # built by pure comparisons against an iota, no gathers anywhere.
     T = patches.reshape(f, ps, ps)
     x0i = jnp.clip(jnp.floor(sx), 0, ps - 2).astype(jnp.int32)
     y0i = jnp.clip(jnp.floor(sy), 0, ps - 2).astype(jnp.int32)
-    ax = jnp.clip(sx - x0i, 0.0, 1.0)
+    ax = jnp.clip(sx - x0i, 0.0, 1.0)                      # (F, ps, ps)
     ay = jnp.clip(sy - y0i, 0.0, 1.0)
-    fi = jnp.arange(f)[:, None, None]
-
-    def tap(dy, dx):
-        return T[fi, y0i + dy, x0i + dx]
-
-    warped = (tap(0, 0) * (1 - ay) * (1 - ax) + tap(0, 1) * (1 - ay) * ax
-              + tap(1, 0) * ay * (1 - ax) + tap(1, 1) * ay * ax)
+    q = jnp.arange(ps)
+    Ay = (jnp.where(q == y0i[..., None], 1.0 - ay[..., None], 0.0)
+          + jnp.where(q == y0i[..., None] + 1, ay[..., None], 0.0)
+          )                                                # (F, ps, ps, ps)
+    Ax = (jnp.where(q == x0i[..., None], 1.0 - ax[..., None], 0.0)
+          + jnp.where(q == x0i[..., None] + 1, ax[..., None], 0.0))
+    warped = jnp.einsum("faby,fyx,fabx->fab", Ay, T, Ax)
     v = warped.reshape(f, ps * ps)
     v = v - jnp.mean(v, axis=-1, keepdims=True)
     nrm = jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + 1e-12)
@@ -272,16 +288,6 @@ def ncc_match(smoothed: jnp.ndarray, pred_uv: jnp.ndarray,
     n = float(ps * ps)
     var = jnp.maximum(w2sum - wsum * wsum / n, 0.0)
     denom = jnp.sqrt(var + 1e-8)                              # (F, ss, ss)
-    if n_tpl == 1:
-        ncc = corr / denom
-    else:
-        ncc2 = corr.reshape(2, f, ss, ss) / denom[None]
-        # winner per landmark = template with the higher global peak;
-        # its whole map feeds the argmax + subpixel fit (mixing maps
-        # per-cell would corrupt the parabola neighborhoods)
-        peak = jnp.max(ncc2.reshape(2, f, ss * ss), axis=-1)  # (2, F)
-        win = jnp.argmax(peak, axis=0)                        # (F,)
-        ncc = ncc2[win, jnp.arange(f)]                        # (F, ss, ss)
 
     # candidate center (x, y) of each grid cell, Mahalanobis-gated
     dyi = jax.lax.broadcasted_iota(jnp.int32, (ss, ss), 0)
@@ -295,7 +301,21 @@ def ncc_match(smoothed: jnp.ndarray, pred_uv: jnp.ndarray,
           + 2.0 * Sinv[:, 0, 1][:, None, None] * dx * dy
           + Sinv[:, 1, 1][:, None, None] * dy * dy)
     ok = (md <= gate) & visible[:, None, None]
-    ncc_g = jnp.where(ok, ncc, -2.0)
+
+    if n_tpl == 1:
+        ncc_g = jnp.where(ok, corr / denom, -2.0)
+    else:
+        ncc2 = corr.reshape(2, f, ss, ss) / denom[None]
+        # gate BOTH template maps BEFORE the winner selection (ADVICE
+        # r3: a spurious peak outside the Mahalanobis gate or in
+        # edge-clamped window rows must not pick the worse template),
+        # then winner per landmark = template with the higher GATED
+        # peak; its whole gated map feeds the argmax + subpixel fit
+        # (mixing maps per-cell would corrupt parabola neighborhoods)
+        ncc2_g = jnp.where(ok[None], ncc2, -2.0)
+        peak = jnp.max(ncc2_g.reshape(2, f, ss * ss), axis=-1)  # (2, F)
+        win = jnp.argmax(peak, axis=0)                          # (F,)
+        ncc_g = ncc2_g[win, jnp.arange(f)]                      # (F, ss, ss)
 
     flat = ncc_g.reshape(f, ss * ss)
     best = jnp.argmax(flat, axis=-1)
