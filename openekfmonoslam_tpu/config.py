@@ -212,9 +212,12 @@ class SlamConfig:
     # Lazy template refresh threshold: re-store the patch only when the
     # best NCC drops below this (refreshing every frame integrates
     # sub-pixel template drift into the trajectory; with the warp
-    # predicting appearance, templates stay valid longer -- 0.85 measured
-    # best on the s3 run, tools/eval_drift.py sweep).
-    ncc_refresh_below: float = 0.85
+    # predicting appearance, templates stay valid longer).  Round-4
+    # 240-frame sweep: 0.80 -> z 2.30%, 0.85 -> 2.26%, 0.90 -> 1.78%,
+    # 0.95 -> 2.13% of travel; 0.90 keeps templates fresher under the
+    # appearance change the warp cannot model while still avoiding
+    # every-frame refresh drift.
+    ncc_refresh_below: float = 0.9
     # Quadratic subpixel refinement of matched measurements on the raw
     # corner-score map (the reference feeds integer keypoint positions to
     # the filter; set False for that behavior).

@@ -162,10 +162,19 @@ def sinv_pallas(S: jnp.ndarray, lam_floor: float = 1.0,
     return out[:m, :m]
 
 
+# The single-block kernel holds S, S_hi/S_lo, X, and dot temporaries in
+# VMEM at once: M=512 fits comfortably, M=640 overflowed the 16 MB VMEM
+# scoped stack (measured at max_features=275).  Larger maps take the
+# Cholesky path until a tiled variant is warranted.
+_MAX_PALLAS_M = 512
+
+
 def spd_inverse(S: jnp.ndarray, lam_floor: float = 1.0) -> jnp.ndarray:
     """S^-1 for SPD S with lambda_min >= lam_floor: Pallas Newton-Schulz
-    on TPU float32, Cholesky elsewhere (CPU tests, float64 parity)."""
-    if S.dtype == jnp.float32 and jax.default_backend() == "tpu":
+    on TPU float32 (sizes up to _MAX_PALLAS_M), Cholesky elsewhere
+    (large maps, CPU tests, float64 parity)."""
+    if (S.dtype == jnp.float32 and S.shape[0] <= _MAX_PALLAS_M
+            and jax.default_backend() == "tpu"):
         return sinv_pallas(S, lam_floor=lam_floor)
     from jax.scipy.linalg import cho_factor, cho_solve
 

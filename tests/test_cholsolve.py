@@ -41,7 +41,7 @@ def test_solve_spd_pads_odd_sizes():
     # helper itself is exercised by padding manually + interpret kernel
     Mp = ((48 + BS - 1) // BS) * BS
     Sp = jnp.pad(S, ((0, Mp - 48), (0, Mp - 48)))
-    Sp = Sp.at[48:, 48:].set(jnp.eye(Mp - 48))
+    Sp = Sp.at[48:, 48:].set(jnp.eye(Mp - 48, dtype=Sp.dtype))
     Bp = jnp.pad(B, ((0, Mp - 48), (0, 56)))
     X = chol_solve_pallas(Sp, Bp, interpret=True)[:48, :200]
     Xref = cho_solve(cho_factor(S, lower=True), B)
