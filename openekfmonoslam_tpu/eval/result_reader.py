@@ -163,6 +163,7 @@ def read_output_yml(path: str) -> list:
     cur: dict | None = None
     pending_mat: str | None = None
     mat_data: list = []
+    in_data = False   # inside a multi-line flow-style data: [ ... ] array
 
     def finish_mat():
         nonlocal pending_mat, mat_data
@@ -194,6 +195,18 @@ def read_output_yml(path: str) -> list:
                 continue
             if cur is None:
                 continue
+            if in_data:
+                # continuation of a wrapped flow-style array: genuine
+                # cv::FileStorage output wraps long rows (EKF.cpp:614-628
+                # writes 169-entry covariance matrices), unlike our
+                # single-line writer
+                mat_data.extend(float(v) for v in
+                                s.rstrip("]").strip().split(",")
+                                if v.strip())
+                if s.endswith("]"):
+                    in_data = False
+                    finish_mat()
+                continue
             if ":" not in s:
                 continue
             key, _, val = s.partition(":")
@@ -203,7 +216,10 @@ def read_output_yml(path: str) -> list:
             if key == "data" and pending_mat:
                 mat_data = [float(v) for v in
                             val.strip("[] ").split(",") if v.strip()]
-                finish_mat()
+                if val.startswith("[") and not val.endswith("]"):
+                    in_data = True          # wrapped across lines
+                else:
+                    finish_mat()
                 continue
             finish_mat()
             if key in ("StateEstimation", "StateCovarianceMatrixEstimation"):

@@ -276,3 +276,62 @@ class TestRansacDebugOverlay:
         import glob
         pngs = glob.glob(os.path.join(out, "debug", "*.png"))
         assert len(pngs) == 5, pngs
+
+    def test_reads_genuine_filestorage_style_output(self, tmp_path):
+        """VERDICT r3 missing #4: output.yml as cv::FileStorage would emit
+        it (EKF.cpp:614-628) -- unquoted keys where cv allows them,
+        varying float spellings, and LONG flow-style data arrays WRAPPED
+        across lines (FileStorage wraps at ~70 columns; our writer emits
+        one line).  The reader must parse this, not just its own output."""
+        cov_vals = [1e-3 * (i + 1) for i in range(169)]
+        # wrap the 169-entry covariance over multiple lines like cv does
+        wrapped, line, lines = cov_vals, "", []
+        for i, v in enumerate(wrapped):
+            tok = f"{v:.8e}," if i < 168 else f"{v:.8e} ]"
+            if len(line) + len(tok) > 68:
+                lines.append(line)
+                line = "       "
+            line += " " + tok
+        lines.append(line)
+        data_block = "\n".join(lines)
+        text = f"""%YAML:1.0
+"Frame 1":
+   Prediction: 1.2340000000000000e+03
+   Matching: 2.5e+02
+   Ransac: 88.
+   totalMatches: 21
+   liInliers: 17
+   UpdateLI: 4.1e+01
+   RescueOutliers: 9.
+   hiInliers: 2
+   UpdateHI: 1.1e+01
+   MapManagement: 7.7e+00
+   StateEstimation: !!opencv-matrix
+      rows: 1
+      cols: 13
+      dt: d
+      data: [ 1.00000000e-02, -2.00000000e-03, 3.0e-04, 1., 0., 0., 0.,
+          1.0e-03, 0., 0., 2.2204460492503131e-16, 0.,
+          2.2204460492503131e-16 ]
+   MapFeaturesInvDepthCount: 18
+   MapFeaturesDepthCount: 3
+   StateCovarianceMatrixEstimation: !!opencv-matrix
+      rows: 13
+      cols: 13
+      dt: d
+      data: [{data_block}
+"""
+        path = tmp_path / "ref_style.yml"
+        path.write_text(text)
+        recs = result_reader.read_output_yml(str(path))
+        assert len(recs) == 1
+        r = recs[0]
+        assert r["total_matches"] == 21 and r["li_inliers"] == 17
+        assert r["phase_times_us"]["Prediction"] == pytest.approx(1234.0)
+        assert r["phase_times_us"]["Ransac"] == pytest.approx(88.0)
+        np.testing.assert_allclose(r["position"], [1e-2, -2e-3, 3e-4])
+        np.testing.assert_allclose(r["orientation"], [1.0, 0, 0, 0])
+        cov = np.asarray(r["covariance_cam"])
+        assert cov.shape == (13, 13)
+        np.testing.assert_allclose(cov.ravel(), cov_vals)
+        assert r["n_inverse_depth"] == 18 and r["n_xyz"] == 3
