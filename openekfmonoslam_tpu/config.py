@@ -181,6 +181,14 @@ class SlamConfig:
     # over all hypotheses picks the same-or-better winner with no
     # sequential scan (see filter/ransac.py).
     ransac_parity_visit: bool = False
+    # H P / H P H^T assembly layout (filter/measure.hp_products):
+    # "blocks" = block-sparse strips (single-chip default, fewest FLOPs);
+    # "dense" = dense-H matmuls whose contractions partition cleanly when
+    # P is sharded (the strip reshape replicates P rows under GSPMD --
+    # measured 38.6 MB/step of the 1-D per-device budget at N=1664).
+    # parallel/sharding.py's step constructors select "dense"
+    # automatically.
+    hp_layout: str = "blocks"
     # Bug-compatible mode: reproduce the reference's transcription quirks
     # *inside the jitted engine* -- the jacobian[1]/[2] slip and the
     # unrotated drho column in the H chain (MeasurementPrediction.cpp:

@@ -85,6 +85,7 @@ class SlamRuntime:
         # bug-compatible mode (config.reference_quirks): quirky H chain,
         # DELTA deadband, insertion-order RANSAC visit + conversion scan
         self.quirks = bool(config.reference_quirks)
+        self.hp_layout = config.hp_layout
 
     def _border_mask(self, shape):
         h, w = shape
@@ -156,7 +157,8 @@ class SlamRuntime:
             state = state._replace(frame=state.frame + 1)
             state = pred_mod.predict(state, self.config)
             pred = meas_mod.predict_measurements(state, self.camera,
-                                                 quirks=self.quirks)
+                                                 quirks=self.quirks,
+                                                 hp_layout=self.hp_layout)
             return state, pred
 
     def phase_match(self, state: SlamState, pred, gray: jnp.ndarray):
@@ -231,7 +233,8 @@ class SlamRuntime:
         EKF.cpp:443-517)."""
         with jax.default_matmul_precision(self.config.matmul_precision):
             pred2 = meas_mod.predict_measurements(state, self.camera,
-                                                  quirks=self.quirks)
+                                                  quirks=self.quirks,
+                                                  hp_layout=self.hp_layout)
             rescued = ransac_mod.rescue_outliers(
                 pred2, m.z, outliers, self.config.ekf.ransac_chi2_threshold)
             return pred2, rescued
@@ -430,7 +433,8 @@ class SlamRuntime:
             state = state._replace(frame=state.frame + 1)
             state = pred_mod.predict(state, cfg)
             pred = meas_mod.predict_measurements(state, cam,
-                                                 quirks=self.quirks)
+                                                 quirks=self.quirks,
+                                                 hp_layout=self.hp_layout)
             matched = matched & pred.visible
             z = z.astype(self.dtype)
 
@@ -444,7 +448,8 @@ class SlamRuntime:
             state = upd_mod.update(state, pred, z, res.inliers, pixel_error,
                                    deadband=self.quirks)
             pred2 = meas_mod.predict_measurements(state, cam,
-                                                  quirks=self.quirks)
+                                                  quirks=self.quirks,
+                                                  hp_layout=self.hp_layout)
             rescued = ransac_mod.rescue_outliers(
                 pred2, z, res.outliers, ekf.ransac_chi2_threshold)
             state = upd_mod.update(state, pred2, z, rescued, pixel_error,

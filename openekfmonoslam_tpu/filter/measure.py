@@ -97,7 +97,8 @@ def _measure_with_jac(camera, cam7, feat, is_xyz):
 
 def predict_measurements(state: SlamState, camera: Camera,
                          analytic: bool = True,
-                         quirks: bool = False) -> Prediction:
+                         quirks: bool = False,
+                         hp_layout: str = "blocks") -> Prediction:
     """Vectorized h + H + S for every slot (predictCameraMeasurements,
     MeasurementPrediction.cpp:705-719).
 
@@ -148,28 +149,45 @@ def predict_measurements(state: SlamState, camera: Camera,
     Hf = Hf * feat_dim_mask[:, None, :].astype(dtype)
 
     # --- shared H P / H P H^T, then per-slot S_i as diagonal blocks ---
-    HP, Sfull = hp_products(state.P, Hc, Hf)
+    HP, Sfull = hp_products(state.P, Hc, Hf, layout=hp_layout)
     S = diag_blocks_2x2(Sfull) + jnp.eye(2, dtype=dtype)[None, :, :]
     uv = jnp.where(visible[:, None], uv, 0.0)
     return Prediction(uv=uv, visible=visible, Hc=Hc, Hf=Hf, S=S,
                       HP=HP, Sfull=Sfull)
 
 
-def hp_products(P: jnp.ndarray, Hc: jnp.ndarray, Hf: jnp.ndarray
-                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def hp_products(P: jnp.ndarray, Hc: jnp.ndarray, Hf: jnp.ndarray,
+                layout: str = "blocks") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(H P (2F, N), H P H^T (2F, 2F)) from the block-sparse H.
 
-    H's row block i is [Hc_i | 0 .. Hf_i .. 0], so H P assembles from the
-    camera strip and the per-slot strips instead of a dense
-    (2F, N) x (N, N) product; H P H^T reuses the same structure on the
-    right.  This is the ONE H P assembly per measurement prediction that
-    the per-slot innovation S_i (makeMeasurementCovariance,
+    This is the ONE H P assembly per measurement prediction that the
+    per-slot innovation S_i (makeMeasurementCovariance,
     MeasurementPrediction.cpp:595-658), the RANSAC P H^T, and the joint
-    update all share.
+    update all share.  Two mathematically-identical layouts:
+
+    ``blocks`` (single-chip default): H's row block i is
+    [Hc_i | 0 .. Hf_i .. 0], so H P assembles from the camera strip and
+    the per-slot strips -- ~30x fewer MXU FLOPs than the dense product.
+    The slot-strip term reshapes P's rows to (F, 6, N), which a row/tile
+    sharding of P CANNOT survive: GSPMD replicates the strips (measured
+    38.6 MB of the 80.6 MB/step per-device budget at N=1664,
+    tools/sharding_diag.py).
+
+    ``dense`` (sharded default, config.hp_layout): materialize the dense
+    (2F, N) H (a replicated scatter of the small Hf blocks) and take two
+    plain matmuls H @ P and (H P) @ H^T -- the extra FLOPs are MXU noise
+    at these sizes, and both contractions partition cleanly over P's
+    sharded dims (partial-sum all-reduces of the small factors, never a
+    strip replication).
     """
     F = Hc.shape[0]
     end = CAM_DIM + F * FEAT_DIM
     N = P.shape[0]
+    if layout == "dense":
+        H = dense_H(Hc, Hf, N)                           # (2F, N)
+        HP = H @ P
+        S = HP @ H.T
+        return HP, S
     Pc = P[:CAM_DIM, :]                                  # (13, N)
     Pf = P[CAM_DIM:end, :].reshape(F, FEAT_DIM, N)
     HP = (jnp.einsum("fic,cn->fin", Hc[:, :, :CAM_DIM], Pc)

@@ -58,8 +58,29 @@ def shard_state(state: SlamState, mesh: Mesh, axis: str = "p") -> SlamState:
     return jax.tree.map(jax.device_put, state, shardings)
 
 
+def _sharded_runtime(runtime: SlamRuntime) -> SlamRuntime:
+    """The runtime re-resolved with the sharding-friendly H P layout
+    where it is MEASURED to pay: the block-sparse assembly's (F, 6, N)
+    strip reshape cannot be partitioned over P's sharded rows (GSPMD
+    replicates the strips -- 38.6 MB of the 80.6 MB/step per-device
+    budget at N=1664), and the dense-H matmuls partition cleanly (54.4
+    MB/step at N=1664, a 33% cut).  Below N ~ 1024 the dense layout's
+    partial-sum all-reduces cost MORE than the small strip gathers
+    (measured 6.06 vs 2.74 MB/step at N=640), so small maps keep
+    "blocks".  tools/sharding_diag.py re-measures both; an explicit
+    config.hp_layout always wins."""
+    import dataclasses
+
+    from openekfmonoslam_tpu.engine.step import SlamRuntime as _RT
+    cfg = runtime.config
+    if cfg.hp_layout == "dense" or cfg.max_features < 128:
+        return runtime
+    return _RT(dataclasses.replace(cfg, hp_layout="dense"))
+
+
 def make_sharded_step(runtime: SlamRuntime, mesh: Mesh, axis: str = "p"):
     """The full frame step jitted with P row-sharded over ``mesh``."""
+    runtime = _sharded_runtime(runtime)
     sh = state_shardings(mesh, axis)
     rep = NamedSharding(mesh, P())
     return jax.jit(
@@ -70,6 +91,7 @@ def make_sharded_step(runtime: SlamRuntime, mesh: Mesh, axis: str = "p"):
 
 
 def make_sharded_init(runtime: SlamRuntime, mesh: Mesh, axis: str = "p"):
+    runtime = _sharded_runtime(runtime)
     sh = state_shardings(mesh, axis)
     rep = NamedSharding(mesh, P())
     return jax.jit(
@@ -129,6 +151,7 @@ def shard_state_2d(state: SlamState, mesh: Mesh,
 
 def make_sharded_step_2d(runtime: SlamRuntime, mesh: Mesh,
                          axes: tuple = ("p", "q")):
+    runtime = _sharded_runtime(runtime)
     sh = state_shardings_2d(mesh, axes)
     rep = NamedSharding(mesh, P())
     return jax.jit(runtime.step, in_shardings=(sh, rep),
@@ -137,6 +160,7 @@ def make_sharded_step_2d(runtime: SlamRuntime, mesh: Mesh,
 
 def make_sharded_init_2d(runtime: SlamRuntime, mesh: Mesh,
                          axes: tuple = ("p", "q")):
+    runtime = _sharded_runtime(runtime)
     sh = state_shardings_2d(mesh, axes)
     rep = NamedSharding(mesh, P())
     return jax.jit(runtime.init_step, in_shardings=(sh, rep),

@@ -261,3 +261,25 @@ def test_per_device_collective_accounting_both_layouts(churn_cfg, frames):
         assert row["n_collectives"] > 0, (label, row)
         # per-device steady-state traffic well under one P rebuild
         assert row["per_device_steady"] < 2 * full_p_bytes, (label, row)
+
+
+def test_sharded_dense_hp_layout_matches_single_device(churn_cfg, frames):
+    """The dense-H assembly (hp_layout="dense" -- what the sharded
+    constructors auto-select for maps >= 128 slots, where the
+    block-sparse strip reshape replicates P rows under GSPMD) must
+    produce the single-device blocks-layout trajectory: same math,
+    different fp association, so float64 agreement through the full
+    churn sequence."""
+    cfg = dataclasses.replace(churn_cfg, hp_layout="dense")
+    s1, r1 = _run_unsharded(churn_cfg, frames)     # blocks, unsharded
+    mesh = make_mesh(jax.devices()[:8])
+    s8, r8 = _run_sharded(cfg, frames, mesh)       # dense, sharded
+    for i, (a, b) in enumerate(zip(r1, r8)):
+        np.testing.assert_allclose(
+            np.asarray(b.x_cam), np.asarray(a.x_cam), rtol=0, atol=1e-9,
+            err_msg=f"frame {i}")
+        assert int(a.n_active) == int(b.n_active), i
+    np.testing.assert_allclose(np.asarray(s8.P), np.asarray(s1.P),
+                               rtol=1e-7, atol=1e-9)
+    np.testing.assert_array_equal(np.asarray(s8.is_xyz),
+                                  np.asarray(s1.is_xyz))
