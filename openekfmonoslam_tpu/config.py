@@ -181,6 +181,10 @@ class SlamConfig:
     # over all hypotheses picks the same-or-better winner with no
     # sequential scan (see filter/ransac.py).
     ransac_parity_visit: bool = False
+    # Run the analytic measurement chain as ONE Pallas kernel on TPU f32
+    # (ops/measure_kernel.py); False keeps the XLA chain everywhere (CPU,
+    # float64 parity and sharded runs always use the XLA chain).
+    measure_kernel: bool = True
     # H P / H P H^T assembly layout (filter/measure.hp_products):
     # "blocks" = block-sparse strips (single-chip default, fewest FLOPs);
     # "dense" = dense-H matmuls whose contractions partition cleanly when

@@ -86,6 +86,7 @@ class SlamRuntime:
         # DELTA deadband, insertion-order RANSAC visit + conversion scan
         self.quirks = bool(config.reference_quirks)
         self.hp_layout = config.hp_layout
+        self.measure_kernel = bool(config.measure_kernel)
 
     def _border_mask(self, shape):
         h, w = shape
@@ -158,7 +159,8 @@ class SlamRuntime:
             state = pred_mod.predict(state, self.config)
             pred = meas_mod.predict_measurements(state, self.camera,
                                                  quirks=self.quirks,
-                                                 hp_layout=self.hp_layout)
+                                                 hp_layout=self.hp_layout,
+                                                 use_kernel=self.measure_kernel)
             return state, pred
 
     def phase_match(self, state: SlamState, pred, gray: jnp.ndarray):
@@ -234,7 +236,8 @@ class SlamRuntime:
         with jax.default_matmul_precision(self.config.matmul_precision):
             pred2 = meas_mod.predict_measurements(state, self.camera,
                                                   quirks=self.quirks,
-                                                  hp_layout=self.hp_layout)
+                                                  hp_layout=self.hp_layout,
+                                                  use_kernel=self.measure_kernel)
             rescued = ransac_mod.rescue_outliers(
                 pred2, m.z, outliers, self.config.ekf.ransac_chi2_threshold)
             return pred2, rescued
@@ -434,7 +437,8 @@ class SlamRuntime:
             state = pred_mod.predict(state, cfg)
             pred = meas_mod.predict_measurements(state, cam,
                                                  quirks=self.quirks,
-                                                 hp_layout=self.hp_layout)
+                                                 hp_layout=self.hp_layout,
+                                                 use_kernel=self.measure_kernel)
             matched = matched & pred.visible
             z = z.astype(self.dtype)
 
@@ -449,7 +453,8 @@ class SlamRuntime:
                                    deadband=self.quirks)
             pred2 = meas_mod.predict_measurements(state, cam,
                                                   quirks=self.quirks,
-                                                  hp_layout=self.hp_layout)
+                                                  hp_layout=self.hp_layout,
+                                                  use_kernel=self.measure_kernel)
             rescued = ransac_mod.rescue_outliers(
                 pred2, z, res.outliers, ekf.ransac_chi2_threshold)
             state = upd_mod.update(state, pred2, z, rescued, pixel_error,

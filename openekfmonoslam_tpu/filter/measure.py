@@ -98,7 +98,8 @@ def _measure_with_jac(camera, cam7, feat, is_xyz):
 def predict_measurements(state: SlamState, camera: Camera,
                          analytic: bool = True,
                          quirks: bool = False,
-                         hp_layout: str = "blocks") -> Prediction:
+                         hp_layout: str = "blocks",
+                         use_kernel: bool = False) -> Prediction:
     """Vectorized h + H + S for every slot (predictCameraMeasurements,
     MeasurementPrediction.cpp:705-719).
 
@@ -119,7 +120,15 @@ def predict_measurements(state: SlamState, camera: Camera,
     cam7 = state.x[:7]
     feats = state.features                       # (F, 6)
 
-    if analytic:
+    if (use_kernel and analytic and dtype == jnp.float32
+            and jax.default_backend() == "tpu"):
+        # ONE Pallas kernel for the whole chain + visibility (the XLA
+        # path compiles to ~60-80 tiny fusions; ops/measure_kernel.py)
+        from openekfmonoslam_tpu.ops.measure_kernel import (
+            measure_chain_pallas)
+        uv, Hc7, Hf, visible = measure_chain_pallas(
+            camera, cam7, feats, state.is_xyz, state.active, quirks=quirks)
+    elif analytic:
         from openekfmonoslam_tpu.filter import measure_fast
         uv, Hc7, Hf = measure_fast.measurements_with_jacobians(
             camera, cam7, feats, state.is_xyz, quirks=quirks)
