@@ -286,7 +286,7 @@ class SlamEngine:
                     f"{closure['frame_j']}), {closure['matches']} matches, "
                     f"rms {closure['rms_px']:.2f}px\n")
 
-    def corrected_trajectory(self, iterations: int = 10) -> np.ndarray:
+    def corrected_trajectory(self, iterations: int = 40) -> np.ndarray:
         """Optimize the pose graph and return the (T, 3) drift-corrected
         per-frame camera positions (raw positions transformed by each
         nearest preceding keyframe's graph correction)."""

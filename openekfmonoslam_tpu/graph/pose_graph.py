@@ -124,10 +124,17 @@ def add_loop_edge(graph: PoseGraph, i: jnp.ndarray, j: jnp.ndarray,
     """Add a loop-closure edge i -> j with measured relative pose.
 
     This is the hook the relocalization path calls when the current camera
-    re-observes a past keyframe's scene.
+    re-observes a past keyframe's scene.  Closure information may be
+    orders of magnitude stiffer than the odometry edges (PnP info under
+    unit pixel noise reaches ~1e7 vs the velocity-walk odometry's
+    ~1e3-1e4); optimize()'s scale-aware damping handles that span -- do
+    NOT rescale closures below the odometry stiffness, or the graph stops
+    moving (measured: a trace cap at 1e3x identity cut a 92% endpoint
+    correction to 10%).
     """
-    inf = (jnp.eye(6, dtype=graph.node_r.dtype) if info is None
-           else info.astype(graph.node_r.dtype))
+    dtype = graph.node_r.dtype
+    inf = (jnp.eye(6, dtype=dtype) if info is None
+           else info.astype(dtype))
     return _append_edge(graph, jnp.int32(i), jnp.int32(j),
                         dr.astype(graph.node_r.dtype),
                         dq.astype(graph.node_r.dtype), inf,
@@ -182,7 +189,7 @@ def _apply_delta(node_r, node_q, delta):
     return node_r + dr, q_new
 
 
-def optimize(graph: PoseGraph, iterations: int = 10,
+def optimize(graph: PoseGraph, iterations: int = 40,
              damping: float = 1e-6) -> PoseGraph:
     """Jittable batched Gauss-Newton over all active nodes/edges.
 
@@ -248,9 +255,39 @@ def optimize(graph: PoseGraph, iterations: int = 10,
         free = jnp.repeat(
             graph.node_active & (jnp.arange(kmax) != 0), 6).astype(dtype)
         Hd = Hd * free[:, None] * free[None, :]
-        Hd = Hd + jnp.diag(jnp.where(free > 0, damping, 1.0))
+        # SCALE-AWARE damping: PnP information matrices carry ~1e6-1e8
+        # entries, so an absolute 1e-6 ridge is ~1e-13 relative -- a
+        # nearly-unconstrained direction (e.g. a sparse closure set) then
+        # drives the f32 solve to NaN (observed on a 3-closure round-4
+        # artifact run).  Damp relative to the mean active diagonal, LM
+        # style, which is also what keeps the step scale-invariant to a
+        # global info rescale.
+        diag = jnp.diagonal(Hd)
+        scale = (jnp.sum(diag * free)
+                 / jnp.maximum(jnp.sum(free), 1.0))
+        lam = damping * jnp.maximum(scale, 1.0)
+        Hd = Hd + jnp.diag(jnp.where(free > 0, lam, 1.0))
         delta = -jnp.linalg.solve(Hd, bd * free).reshape(kmax, 6)
         delta = delta * free.reshape(kmax, 6)
+        # a diverged solve must not poison the trajectory: fall back to
+        # no-update for non-finite steps
+        delta = jnp.where(jnp.isfinite(delta), delta, 0.0)
+
+        # TRUST-REGION step clamp: with stiff loop-closure edges (PnP
+        # info ~1e7) against soft odometry and real rotations, a full
+        # Gauss-Newton step overshoots the linearization and the
+        # iteration diverges (measured 300x the raw error on a 3-closure
+        # out-and-back graph).  Clamping each node's step to 0.3 rad and
+        # a graph-scale translation turns the loop into a damped descent
+        # that converges in the extra iterations.
+        span = jnp.max(jnp.linalg.norm(
+            node_r - node_r[0][None], axis=-1) * graph.node_active)
+        t_cap = jnp.maximum(0.25 * span, 1e-3)
+        tn = jnp.linalg.norm(delta[:, 0:3], axis=-1)
+        rn = jnp.linalg.norm(delta[:, 3:6], axis=-1)
+        s = jnp.minimum(jnp.minimum(1.0, t_cap / jnp.maximum(tn, 1e-12)),
+                        0.3 / jnp.maximum(rn, 1e-12))
+        delta = delta * s[:, None]
 
         return _apply_delta(node_r, node_q, delta)
 

@@ -1,3 +1,3 @@
 function [x] = scaleFactor()
-x = [1.4575898225052213];
+x = [1.1902511037273813];
 end
