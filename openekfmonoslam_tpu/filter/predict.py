@@ -40,12 +40,70 @@ def motion_model(cam13: jnp.ndarray, dt: float) -> jnp.ndarray:
     return jnp.concatenate([r + v * dt, q_new, v, w])
 
 
+def motion_jacobian(cam13: jnp.ndarray, dt: float) -> jnp.ndarray:
+    """Analytic F = d(motion_model)/d(cam13), (13, 13).
+
+    The same matrix jax.jacfwd extracts (locked elementwise by
+    tests/test_filter.py), assembled from the closed-form quaternion
+    product Jacobians -- the jvp machinery compiled to ~20 extra tiny
+    kernels per frame.  Mirrors the reference's hand derivation
+    (StateAndCovariancePrediction.cpp:100-189) with the exact small-angle
+    limits instead of its EPSILON branch.
+
+      dq'/dq = R(q2)   (right-multiplication matrix of q2 = quat(w dt))
+      dq'/dw = L(q) dq2/d(w dt) dt
+    """
+    dtype = cam13.dtype
+    q = cam13[3:7]
+    w_vec = cam13[10:13]
+    v_ = w_vec * dt
+    n2 = v_ @ v_
+    n = jnp.sqrt(n2)
+    half = 0.5 * n
+    c = jnp.cos(half)
+    # s = sin(n/2)/n and g = (cos(n/2)/2 - s)/n^2 with exact n->0 limits
+    small = n < 1e-6
+    n_safe = jnp.where(small, 1.0, n)
+    s = jnp.where(small, 0.5 - n2 / 48.0, jnp.sin(half) / n_safe)
+    g = jnp.where(small, -1.0 / 24.0 + n2 / 960.0,
+                  (0.5 * c - s) / jnp.where(small, 1.0, n2))
+
+    # dq2/d(v_) (4, 3): row 0 = -s/2 v^T; rows 1:4 = s I + g v v^T
+    dq2 = jnp.concatenate([
+        (-0.5 * s * v_)[None, :],
+        s * jnp.eye(3, dtype=dtype) + g * jnp.outer(v_, v_),
+    ], axis=0)
+
+    qw, qx, qy, qz = q[0], q[1], q[2], q[3]
+    L = jnp.asarray([[qw, -qx, -qy, -qz],
+                     [qx, qw, -qz, qy],
+                     [qy, qz, qw, -qx],
+                     [qz, -qy, qx, qw]], dtype=dtype)
+    dq_dw = (L @ dq2) * dt                               # (4, 3)
+
+    q2 = jnp.concatenate([c[None], s * v_])             # quat(w dt)
+    aw, ax, ay, az = q2[0], q2[1], q2[2], q2[3]
+    Rr = jnp.asarray([[aw, -ax, -ay, -az],
+                      [ax, aw, az, -ay],
+                      [ay, -az, aw, ax],
+                      [az, ay, -ax, aw]], dtype=dtype)   # right-mult by q2
+
+    F = jnp.zeros((CAM_DIM, CAM_DIM), dtype=dtype)
+    F = F.at[0:3, 0:3].set(jnp.eye(3, dtype=dtype))
+    F = F.at[0:3, 7:10].set(jnp.eye(3, dtype=dtype) * dt)
+    F = F.at[3:7, 3:7].set(Rr)
+    F = F.at[3:7, 10:13].set(dq_dw)
+    F = F.at[7:10, 7:10].set(jnp.eye(3, dtype=dtype))
+    F = F.at[10:13, 10:13].set(jnp.eye(3, dtype=dtype))
+    return F
+
+
 def predict(state: SlamState, config: SlamConfig, dt: float = 1.0
             ) -> SlamState:
     """One predict step: returns the state with x[0:13] and P advanced."""
     cam = state.x[:CAM_DIM]
     f = lambda c: motion_model(c, dt)  # noqa: E731
-    F = jax.jacfwd(f)(cam)            # (13, 13)
+    F = motion_jacobian(cam, dt)      # (13, 13), == jax.jacfwd(f)(cam)
     cam_new = f(cam)
 
     # G (13x6): d(state)/d(noise (v_err, w_err)); noise enters the dynamics

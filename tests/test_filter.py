@@ -371,3 +371,27 @@ class TestMapManagement:
         state, dim_mask = make_populated_state(cfg, camera, rng)
         got = np.asarray(dim_active_mask(state))
         np.testing.assert_array_equal(got, dim_mask)
+
+
+def test_motion_jacobian_matches_jacfwd(rng):
+    """The analytic F (closed-form quaternion product Jacobians) must be
+    the same matrix jax.jacfwd extracts from the motion model, including
+    the small-angle limits (the reference seeds w = EPSILON,
+    CommonFunctions.cpp:52-54)."""
+    import jax
+
+    from openekfmonoslam_tpu.filter.predict import (motion_jacobian,
+                                                    motion_model)
+
+    for trial in range(20):
+        cam = rng.normal(0, 1, 13)
+        cam[3:7] /= np.linalg.norm(cam[3:7])
+        if trial < 5:
+            cam[10:13] = rng.normal(0, 1e-9, 3)
+        elif trial < 10:
+            cam[10:13] = np.full(3, 2.22e-16)
+        c = jnp.asarray(cam)
+        Fj = jax.jacfwd(lambda x: motion_model(x, 1.0))(c)
+        Fa = motion_jacobian(c, 1.0)
+        np.testing.assert_allclose(np.asarray(Fa), np.asarray(Fj),
+                                   rtol=0, atol=1e-12)
