@@ -41,6 +41,11 @@ def main():
         cfg = dataclasses.replace(
             cfg, matcher="ncc",
             descriptor=dataclasses.replace(cfg.descriptor, kind="PATCH"))
+    if "pixel_error" in overrides:
+        pe = overrides.pop("pixel_error")
+        cfg = dataclasses.replace(cfg, camera=dataclasses.replace(
+            cfg.camera, pixel_error_x=float(pe), pixel_error_y=float(pe)))
+        print("pixel_error:", pe)
     if overrides:
         cfg = dataclasses.replace(cfg, **overrides)
         print("overrides:", overrides)
