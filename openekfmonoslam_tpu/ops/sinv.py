@@ -122,8 +122,34 @@ def _sinv_kernel(s_ref, out_ref, x_ref, lam_floor: float, n_iters: int,
 
     @pl.when(bad)
     def _():
+        # Residual-driven rescue: iterate until the Newton residual
+        # max|S X - I| is provably small rather than a fixed count (a
+        # fixed 20 covers cond ~1e5; beyond that it would return a
+        # silently unconverged inverse).  From the contractive init the
+        # pre-update residual e satisfies e_{k+1} = e_k^2 < 1, so the
+        # loop terminates for ANY SPD S; exit at e <= 5e-4 means the
+        # post-update residual is ~2.5e-7, i.e. converged to the f32
+        # floor before the polish steps.  The 128 cap covers cond beyond
+        # f32 representability (2^128 >> any cond(S) expressible here).
         x_ref[:] = c * eye
-        jax.lax.fori_loop(0, 20, body_f32, 0)
+
+        def rescue_cond(carry):
+            k, res = carry
+            return jnp.logical_and(res > 5e-4, k < 128)
+
+        def rescue_body(carry):
+            k, _ = carry
+            t = two_eye - jnp.dot(S, x_ref[:],
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
+            res = jnp.max(jnp.abs(t - eye))
+            x_ref[:] = jnp.dot(x_ref[:], t,
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+            return k + 1, res
+
+        jax.lax.while_loop(rescue_cond, rescue_body,
+                           (jnp.int32(0), jnp.float32(1.0)))
 
     jax.lax.fori_loop(0, f32_polish - 1, body_f32, 0)
     out_ref[:] = x_ref[:]

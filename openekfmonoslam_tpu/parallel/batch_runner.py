@@ -132,9 +132,15 @@ def batched_step(runtime: SlamRuntime, states: SlamState,
             )(ss, cand_uv, cand_desc, new_slot, new_ok),
             lambda ss: ss, states)
 
+        # Streams that did NOT trigger detection must not leak the
+        # speculatively detected candidate positions into their records:
+        # vmap(step) produces zeros for them (its per-stream cond skips
+        # detection), so zero cand_uv where flags is False to keep the
+        # bit-exact-to-vmap(step) contract for records.new_uv as well.
+        rec_uv = jnp.where(flags[:, None, None], cand_uv, 0.0)
         records = jax.vmap(rt.make_record)(
             states, pred, m, res, rescued,
-            cand_uv.astype(rt.dtype), new_ok, new_slot)
+            rec_uv.astype(rt.dtype), new_ok, new_slot)
         return states, records
 
 

@@ -66,16 +66,25 @@ def _sharded_runtime(runtime: SlamRuntime) -> SlamRuntime:
     budget at N=1664), and the dense-H matmuls partition cleanly (54.4
     MB/step at N=1664, a 33% cut).  Below N ~ 1024 the dense layout's
     partial-sum all-reduces cost MORE than the small strip gathers
-    (measured 6.06 vs 2.74 MB/step at N=640), so small maps keep
-    "blocks".  tools/sharding_diag.py re-measures both; an explicit
-    config.hp_layout always wins."""
+    (measured 6.06 vs 2.74 MB/step at N=640), so maps under N=1024 dims
+    keep "blocks" -- the switch is on N = 13 + 6 F, matching the
+    measured crossover.  tools/sharding_diag.py re-measures both; an
+    explicit config.hp_layout always wins."""
     import dataclasses
 
     from openekfmonoslam_tpu.engine.step import SlamRuntime as _RT
     cfg = runtime.config
-    if cfg.hp_layout == "dense" or cfg.max_features < 128:
+    # Sharded runs always take the XLA measurement chain (config.py
+    # contract): the single-device Pallas kernels are not written for
+    # GSPMD partitioning and would at best force replication.
+    n_dims = 13 + 6 * cfg.max_features
+    want_dense = cfg.hp_layout != "dense" and n_dims >= 1024
+    if not want_dense and not cfg.measure_kernel:
         return runtime
-    return _RT(dataclasses.replace(cfg, hp_layout="dense"))
+    repl = {"measure_kernel": False}
+    if want_dense:
+        repl["hp_layout"] = "dense"
+    return _RT(dataclasses.replace(cfg, **repl))
 
 
 def make_sharded_step(runtime: SlamRuntime, mesh: Mesh, axis: str = "p"):

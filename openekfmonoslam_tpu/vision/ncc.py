@@ -388,7 +388,15 @@ def ncc_match(smoothed: jnp.ndarray, pred_uv: jnp.ndarray,
     # genuinely changed (best NCC below ``refresh_below``).
     zyx = jnp.stack([zy, zx], -1)
     new_patches = extract_patches_bilinear(img, zyx, pr)
-    refresh = matched & (best_ncc < refresh_below)
+    # Matched subpixel positions are NOT border-masked; within a patch
+    # radius of the border extract_patches_bilinear's window-origin clip
+    # re-centers the sample window, so a refresh there would store a
+    # shifted template and corrupt later correlation.  Keep the old
+    # template for border matches.
+    h_img, w_img = img.shape
+    in_interior = ((zy >= pr + 1) & (zy < h_img - pr - 1)
+                   & (zx >= pr + 1) & (zx < w_img - pr - 1))
+    refresh = matched & (best_ncc < refresh_below) & in_interior
     desc = jnp.where(refresh[:, None], new_patches, patches)
 
     dist = jnp.round((1.0 - best_ncc) * 1000.0).astype(jnp.int32)
