@@ -185,6 +185,15 @@ class SlamConfig:
     # (ops/measure_kernel.py); False keeps the XLA chain everywhere (CPU,
     # float64 parity and sharded runs always use the XLA chain).
     measure_kernel: bool = True
+    # Run each joint update (masked S assembly + Newton-Schulz inverse +
+    # Kalman matmuls + post-update numerics) as ONE Pallas kernel on TPU
+    # f32 (ops/update_kernel.py); False keeps the XLA chain everywhere
+    # (CPU, float64 parity, quirks/deadband and sharded runs always use
+    # the XLA chain).
+    update_kernel: bool = True
+    # Run the predict phase (motion model + analytic F + Q + P strip
+    # updates) as ONE Pallas kernel on TPU f32 (ops/predict_kernel.py).
+    predict_kernel: bool = True
     # H P / H P H^T assembly layout (filter/measure.hp_products):
     # "blocks" = block-sparse strips (single-chip default, fewest FLOPs);
     # "dense" = dense-H matmuls whose contractions partition cleanly when

@@ -87,6 +87,8 @@ class SlamRuntime:
         self.quirks = bool(config.reference_quirks)
         self.hp_layout = config.hp_layout
         self.measure_kernel = bool(config.measure_kernel)
+        self.update_kernel = bool(config.update_kernel)
+        self.predict_kernel = bool(config.predict_kernel)
 
     def _border_mask(self, shape):
         h, w = shape
@@ -156,7 +158,8 @@ class SlamRuntime:
         'Prediction' bracket covers both, EKF.cpp:273-292)."""
         with jax.default_matmul_precision(self.config.matmul_precision):
             state = state._replace(frame=state.frame + 1)
-            state = pred_mod.predict(state, self.config)
+            state = pred_mod.predict(state, self.config,
+                                     use_kernel=self.predict_kernel)
             pred = meas_mod.predict_measurements(state, self.camera,
                                                  quirks=self.quirks,
                                                  hp_layout=self.hp_layout,
@@ -228,7 +231,8 @@ class SlamRuntime:
         with jax.default_matmul_precision(self.config.matmul_precision):
             return upd_mod.update(state, pred, m.z, inliers,
                                   self.config.camera.pixel_error_x,
-                                  deadband=self.quirks)
+                                  deadband=self.quirks,
+                                  use_kernel=self.update_kernel)
 
     def phase_rescue(self, state: SlamState, m, outliers):
         """[5] re-predict + chi2 outlier rescue ('RescueOutliers',
@@ -247,7 +251,8 @@ class SlamRuntime:
         with jax.default_matmul_precision(self.config.matmul_precision):
             return upd_mod.update(state, pred2, m.z, rescued,
                                   self.config.camera.pixel_error_x,
-                                  deadband=self.quirks)
+                                  deadband=self.quirks,
+                                  use_kernel=self.update_kernel)
 
     def mapman_maintain(self, state: SlamState, pred, m, inliers_all
                         ) -> tuple[SlamState, jnp.ndarray, jnp.ndarray]:
@@ -434,7 +439,8 @@ class SlamRuntime:
             pixel_error = cfg.camera.pixel_error_x
 
             state = state._replace(frame=state.frame + 1)
-            state = pred_mod.predict(state, cfg)
+            state = pred_mod.predict(state, cfg,
+                                     use_kernel=self.predict_kernel)
             pred = meas_mod.predict_measurements(state, cam,
                                                  quirks=self.quirks,
                                                  hp_layout=self.hp_layout,
@@ -450,7 +456,8 @@ class SlamRuntime:
                 visit_key=state.birth if self.quirks else None,
                 deadband=self.quirks)
             state = upd_mod.update(state, pred, z, res.inliers, pixel_error,
-                                   deadband=self.quirks)
+                                   deadband=self.quirks,
+                                   use_kernel=self.update_kernel)
             pred2 = meas_mod.predict_measurements(state, cam,
                                                   quirks=self.quirks,
                                                   hp_layout=self.hp_layout,
@@ -458,7 +465,8 @@ class SlamRuntime:
             rescued = ransac_mod.rescue_outliers(
                 pred2, z, res.outliers, ekf.ransac_chi2_threshold)
             state = upd_mod.update(state, pred2, z, rescued, pixel_error,
-                                   deadband=self.quirks)
+                                   deadband=self.quirks,
+                                   use_kernel=self.update_kernel)
             inliers_all = res.inliers | rescued
 
             # map management mirrors the live pipeline (EKF.cpp:567-612):

@@ -98,9 +98,22 @@ def motion_jacobian(cam13: jnp.ndarray, dt: float) -> jnp.ndarray:
     return F
 
 
-def predict(state: SlamState, config: SlamConfig, dt: float = 1.0
-            ) -> SlamState:
-    """One predict step: returns the state with x[0:13] and P advanced."""
+def predict(state: SlamState, config: SlamConfig, dt: float = 1.0,
+            use_kernel: bool = False) -> SlamState:
+    """One predict step: returns the state with x[0:13] and P advanced.
+
+    ``use_kernel`` runs the whole phase as ONE Pallas launch on TPU f32
+    (ops/predict_kernel.py, equivalence locked by
+    tests/test_update_kernel.py); other dtypes/backends keep this XLA
+    chain."""
+    if use_kernel:
+        from openekfmonoslam_tpu.ops.predict_kernel import (
+            predict_kernel_applicable, predict_pallas)
+        if predict_kernel_applicable(state.P):
+            lin = (config.ekf.linear_accel_sd * dt) ** 2
+            ang = (config.ekf.angular_accel_sd * dt) ** 2
+            x, P = predict_pallas(state.P, state.x, dt, lin, ang)
+            return state._replace(x=x, P=P)
     cam = state.x[:CAM_DIM]
     f = lambda c: motion_model(c, dt)  # noqa: E731
     F = motion_jacobian(cam, dt)      # (13, 13), == jax.jacfwd(f)(cam)

@@ -129,8 +129,21 @@ def finalize_update(state: SlamState, applied: jnp.ndarray) -> SlamState:
 
 def update(state: SlamState, pred: Prediction, z: jnp.ndarray,
            use: jnp.ndarray, pixel_error: float,
-           deadband: bool = False) -> SlamState:
-    """Full joint update + numerics (update, Update.cpp:282-318)."""
+           deadband: bool = False, use_kernel: bool = False) -> SlamState:
+    """Full joint update + numerics (update, Update.cpp:282-318).
+
+    ``use_kernel`` runs the whole chain (kalman_update + finalize_update)
+    as ONE Pallas launch on TPU f32 (ops/update_kernel.py, equivalence to
+    this XLA chain locked by tests/test_update_kernel.py); the deadband
+    (quirks) path and non-applicable shapes keep the XLA chain."""
+    if use_kernel and not deadband:
+        from openekfmonoslam_tpu.ops.update_kernel import (
+            joint_update_pallas, update_kernel_applicable)
+        if update_kernel_applicable(state.P, pred.HP):
+            x, P = joint_update_pallas(
+                state.P, state.x, pred.HP, pred.Sfull, pred.uv, z, use,
+                float(pixel_error), min(float(pixel_error), 1.0))
+            return state._replace(x=x, P=P)
     new = kalman_update(state, pred, z, use, pixel_error,
                         update_covariance=True, deadband=deadband)
     return finalize_update(new, jnp.any(use))

@@ -51,9 +51,11 @@ def _pad_to_tile(m: int) -> int:
     return ((m + _LANE - 1) // _LANE) * _LANE
 
 
-def _sinv_kernel(s_ref, out_ref, x_ref, lam_floor: float, n_iters: int,
-                 f32_polish: int):
-    S = s_ref[:]
+def ns_inverse_into(S, x_ref, lam_floor: float, n_iters: int,
+                    f32_polish: int) -> None:
+    """Newton-Schulz SPD inverse of the VALUE ``S`` written into the VMEM
+    scratch ``x_ref`` -- the body shared by the standalone sinv kernel
+    below and the fused joint-update kernel (ops/update_kernel.py)."""
     m = S.shape[0]
     ninf = jnp.max(jnp.sum(jnp.abs(S), axis=1))
     # 1.8 (not the optimal 2.0): the optimal scale puts lambda_max(S X0)
@@ -152,6 +154,11 @@ def _sinv_kernel(s_ref, out_ref, x_ref, lam_floor: float, n_iters: int,
                            (jnp.int32(0), jnp.float32(1.0)))
 
     jax.lax.fori_loop(0, f32_polish - 1, body_f32, 0)
+
+
+def _sinv_kernel(s_ref, out_ref, x_ref, lam_floor: float, n_iters: int,
+                 f32_polish: int):
+    ns_inverse_into(s_ref[:], x_ref, lam_floor, n_iters, f32_polish)
     out_ref[:] = x_ref[:]
 
 
