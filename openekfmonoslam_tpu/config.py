@@ -194,6 +194,9 @@ class SlamConfig:
     # Run the predict phase (motion model + analytic F + Q + P strip
     # updates) as ONE Pallas kernel on TPU f32 (ops/predict_kernel.py).
     predict_kernel: bool = True
+    # Fuse the STAR post-integral scoring + non-max suppression into two
+    # Pallas kernels on TPU (ops/star_kernel.py).
+    star_kernel: bool = True
     # H P / H P H^T assembly layout (filter/measure.hp_products):
     # "blocks" = block-sparse strips (single-chip default, fewest FLOPs);
     # "dense" = dense-H matmuls whose contractions partition cleanly when

@@ -51,6 +51,20 @@ def _pad_to_tile(m: int) -> int:
     return ((m + _LANE - 1) // _LANE) * _LANE
 
 
+def _dot3(a, b):
+    """3-pass bf16-split matmul == jax "high" f32 precision (Mosaic only
+    accepts DEFAULT/HIGHEST; HIGHEST's 6 passes measured ~2x the kernel
+    time in the polish steps with no accuracy the polish needs)."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    kw = dict(preferred_element_type=jnp.float32,
+              precision=jax.lax.Precision.DEFAULT)
+    return (jnp.dot(a_hi, b_hi, **kw) + jnp.dot(a_hi, b_lo, **kw)
+            + jnp.dot(a_lo, b_hi, **kw))
+
+
 def ns_inverse_into(S, x_ref, lam_floor: float, n_iters: int,
                     f32_polish: int) -> None:
     """Newton-Schulz SPD inverse of the VALUE ``S`` written into the VMEM
@@ -96,13 +110,11 @@ def ns_inverse_into(S, x_ref, lam_floor: float, n_iters: int,
         return carry
 
     def body_f32(_, carry):
-        # full 6-pass f32 (Mosaic's default f32 dot is a single bf16
-        # pass -- the polish steps exist precisely to remove that floor)
-        t = two_eye - jnp.dot(S, x_ref[:],
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
-        x_ref[:] = jnp.dot(x_ref[:], t, preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+        # 3-pass bf16-split (~f32 products; Mosaic's default f32 dot is
+        # a single bf16 pass -- the polish steps exist precisely to
+        # remove that floor, and the 3-pass split already does)
+        t = two_eye - _dot3(S, x_ref[:])
+        x_ref[:] = _dot3(x_ref[:], t)
         return carry
 
     jax.lax.fori_loop(0, n_iters - f32_polish, body_main, 0)
@@ -116,11 +128,9 @@ def ns_inverse_into(S, x_ref, lam_floor: float, n_iters: int,
     # rescue branch restarts from the provably-contractive init and runs
     # full-precision Newton-Schulz, which converges for ANY SPD S with
     # these spectrum bounds.
-    t1 = two_eye - jnp.dot(S, x_ref[:], preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
+    t1 = two_eye - _dot3(S, x_ref[:])
     bad = jnp.max(jnp.abs(t1 - eye)) > 0.05
-    x_ref[:] = jnp.dot(x_ref[:], t1, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)
+    x_ref[:] = _dot3(x_ref[:], t1)
 
     @pl.when(bad)
     def _():

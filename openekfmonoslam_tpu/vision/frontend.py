@@ -101,10 +101,26 @@ class Frontend:
         cfg = self.config
         with jax.default_matmul_precision("default"):
             aux: dict = {}
-            score = self._score_fn(gray)
-            aux["score_raw"] = score     # pre-NMS map for subpixel fits
-            aux["score_nms"] = fast.non_max_suppress(
-                score, cfg.detector.nonmax_radius)
+            if (self.det_kind == "STAR" and cfg.star_kernel
+                    and cfg.detector.nonmax_radius == 2):
+                # fused post-integral STAR scoring + NMS, ONE Pallas
+                # pipeline on TPU (ops/star_kernel.py); interior pixels
+                # identical to the XLA chain below
+                from openekfmonoslam_tpu.ops.star_kernel import (
+                    star_kernel_applicable, star_scores_fused)
+                h, w = gray.shape
+                if star_kernel_applicable(h, w,
+                                          cfg.detector.star_max_size):
+                    raw, nms = star_scores_fused(
+                        gray, cfg.detector.star_max_size,
+                        cfg.detector.star_response_threshold,
+                        cfg.detector.star_line_threshold)
+                    aux["score_raw"], aux["score_nms"] = raw, nms
+            if "score_raw" not in aux:
+                score = self._score_fn(gray)
+                aux["score_raw"] = score  # pre-NMS map for subpixel fits
+                aux["score_nms"] = fast.non_max_suppress(
+                    score, cfg.detector.nonmax_radius)
             smoothed = brief.smooth(gray, cfg.descriptor.blur_sigma)
             if self.desc_kind == "BRIEF":
                 # dense bit-planes: per-keypoint extraction is an 8-word
