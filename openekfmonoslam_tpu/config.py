@@ -197,6 +197,9 @@ class SlamConfig:
     # Fuse the STAR post-integral scoring + non-max suppression into two
     # Pallas kernels on TPU (ops/star_kernel.py).
     star_kernel: bool = True
+    # Run the feature-init chain + hand-derived Jacobians as ONE Pallas
+    # kernel on TPU f32 (ops/init_kernel.py).
+    init_kernel: bool = True
     # H P / H P H^T assembly layout (filter/measure.hp_products):
     # "blocks" = block-sparse strips (single-chip default, fewest FLOPs);
     # "dense" = dense-H matmuls whose contractions partition cleanly when

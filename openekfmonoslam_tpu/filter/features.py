@@ -148,7 +148,17 @@ def _add_features_impl(state: SlamState, camera: Camera, config: SlamConfig,
             lambda m: init_feature(camera, cam7, m))(uv_rho)
         return f, J1, J2
 
-    feats, J1, J2 = jax.vmap(feat_and_jacs)(cand_uv)    # (C,6) (C,6,7) (C,6,3)
+    from openekfmonoslam_tpu.ops.init_kernel import (
+        init_chain_pallas, init_kernel_applicable)
+    if config.init_kernel and init_kernel_applicable(dtype):
+        # ONE Pallas launch with hand-derived Jacobians (the vmapped
+        # jacfwd chain below compiles to ~100 tiny fusions; equivalence
+        # locked by tests/test_update_kernel.py)
+        feats, J1, J2 = init_chain_pallas(
+            camera, cam7, cand_uv, float(ekf.init_inv_depth_rho))
+    else:
+        feats, J1, J2 = jax.vmap(feat_and_jacs)(cand_uv)
+        # (C,6) (C,6,7) (C,6,3)
 
     r_add = jnp.asarray([camcal.pixel_error_x ** 2, camcal.pixel_error_y ** 2,
                          ekf.inverse_depth_rho_sd ** 2], dtype=dtype)

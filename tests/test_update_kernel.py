@@ -138,3 +138,39 @@ def test_predict_kernel_matches_xla_chain():
     # bit-exactly
     np.testing.assert_array_equal(np.asarray(got.P)[13:, 13:],
                                   np.asarray(state.P)[13:, 13:])
+
+
+def test_init_kernel_matches_jacfwd():
+    from openekfmonoslam_tpu.core.camera import Camera
+    from openekfmonoslam_tpu.filter.features import init_feature
+    from openekfmonoslam_tpu.ops.init_kernel import init_chain_pallas
+
+    cfg = SlamConfig()
+    cam = Camera.from_calibration(cfg.camera, jnp.float32)
+    rng = np.random.default_rng(0)
+    C = 96
+    q = rng.standard_normal(4)
+    q /= np.linalg.norm(q)
+    cam7 = jnp.asarray(np.concatenate([rng.normal(0, 0.1, 3), q]),
+                       jnp.float32)
+    uv = jnp.asarray(rng.uniform(20, 600, (C, 2)), jnp.float32)
+    rho0 = 1.0
+
+    def feat_and_jacs(uvi):
+        uv_rho = jnp.concatenate([uvi, jnp.float32(rho0)[None]])
+        f = init_feature(cam, cam7, uv_rho)
+        J1 = jax.jacfwd(lambda c: init_feature(cam, c, uv_rho))(cam7)
+        J2 = jax.jacfwd(lambda m: init_feature(cam, cam7, m))(uv_rho)
+        return f, J1, J2
+
+    f_r, J1_r, J2_r = jax.jit(jax.vmap(feat_and_jacs))(uv)
+    f_k, J1_k, J2_k = jax.jit(
+        lambda u: init_chain_pallas(cam, cam7, u, rho0))(uv)
+    np.testing.assert_array_equal(np.asarray(f_r), np.asarray(f_k))
+    # the f32 jacfwd chain itself carries ~6e-3 jvp cancellation error
+    # (measured vs a float64 jacfwd the kernel matches to 5e-7), so the
+    # cross-check tolerance is jacfwd's own noise floor
+    np.testing.assert_allclose(np.asarray(J1_k), np.asarray(J1_r),
+                               rtol=0, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(J2_k), np.asarray(J2_r),
+                               rtol=0, atol=1e-4)
