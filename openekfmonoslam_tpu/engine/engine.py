@@ -52,6 +52,23 @@ class SlamEngine:
         self.config = cfg
         self.runtime = SlamRuntime(cfg)
         self._init_fn, self._step_fn = self.runtime.jitted()
+        # ONE packed per-frame summary vector: every device->host fetch
+        # costs full transfer latency regardless of size (measured ~25 ms
+        # over the tunneled TPU, ~50 us locally), and the record dict
+        # needs 11 values -- fetching them individually made the
+        # interactive loop fetch-latency-bound (247 ms/frame measured).
+        # Layout: x_cam (13) | P_cam.ravel (169) | 7 counters.
+        def _summary(state, rec):
+            counters = jnp.stack([
+                rec.total_matches, rec.li_inliers, rec.hi_inliers,
+                rec.n_active, rec.n_visible,
+                jnp.sum((state.active & state.is_xyz).astype(jnp.int32)),
+                jnp.sum((state.active & ~state.is_xyz).astype(jnp.int32)),
+            ]).astype(rec.x_cam.dtype)
+            return jnp.concatenate([rec.x_cam, rec.P_cam.reshape(-1),
+                                    counters])
+
+        self._summary_fn = jax.jit(_summary)
         self.state = self.runtime.make_initial_state()
         self.records: list[dict] = []
         self.frame_index = 0
@@ -180,25 +197,23 @@ class SlamEngine:
             rec, phase_times = self._step_timed(gray)
         else:
             self.state, rec = self._step_fn(self.state, gray)
-        jax.block_until_ready(self.state.x)
-        dt = time.perf_counter() - t0
-
+        # no separate block_until_ready: the summary fetch below blocks
+        # on the step, and each blocking round-trip costs full transfer
+        # latency on a tunneled device
         self.frame_index += 1
         if (self.pose_graph is not None
                 and self.frame_index % self.keyframe_every == 0):
             self._take_keyframe(gray_np)
 
-        record = self._record_to_dict(rec, dt)
+        summary = np.asarray(self._summary_fn(self.state, rec),
+                             np.float64)
+        dt = time.perf_counter() - t0
+        record = self._summary_to_dict(summary, dt)
         if phase_times is not None:
             record["phase_times_us"] = phase_times
             # live per-phase bracketing -- genuinely measured values
             # (the reference Timer semantics, EKF.cpp:255-618)
             record["phase_times_source"] = "measured"
-        # inverse-depth / XYZ split (State::write's MapFeatures*Count)
-        active = np.asarray(self.state.active)
-        is_xyz = np.asarray(self.state.is_xyz)
-        record["n_xyz"] = int(np.sum(active & is_xyz))
-        record["n_inverse_depth"] = int(np.sum(active & ~is_xyz))
 
         if self.relocalize_after > 0:
             if record["total_matches"] < self.lost_matches_threshold:
@@ -317,21 +332,25 @@ class SlamEngine:
     def camera_position(self) -> np.ndarray:
         return np.asarray(self.state.x[0:3])
 
-    def _record_to_dict(self, rec: StepRecord, wall_s: float) -> dict:
-        x = np.asarray(rec.x_cam, dtype=np.float64)
+    def _summary_to_dict(self, s: np.ndarray, wall_s: float) -> dict:
+        """The per-frame record dict from the ONE fetched summary vector
+        (see __init__._summary for the layout)."""
+        x = s[0:13]
+        c = s[182:189]
         return {
             "frame": self.frame_index,
             "position": x[0:3].tolist(),
             "orientation": x[3:7].tolist(),
             "linear_velocity": x[7:10].tolist(),
             "angular_velocity": x[10:13].tolist(),
-            "covariance_cam": np.asarray(rec.P_cam,
-                                         dtype=np.float64).tolist(),
-            "total_matches": int(rec.total_matches),
-            "li_inliers": int(rec.li_inliers),
-            "hi_inliers": int(rec.hi_inliers),
-            "n_active": int(rec.n_active),
-            "n_visible": int(rec.n_visible),
+            "covariance_cam": s[13:182].reshape(13, 13).tolist(),
+            "total_matches": int(c[0]),
+            "li_inliers": int(c[1]),
+            "hi_inliers": int(c[2]),
+            "n_active": int(c[3]),
+            "n_visible": int(c[4]),
+            "n_xyz": int(c[5]),
+            "n_inverse_depth": int(c[6]),
             "wall_time_s": wall_s,
         }
 

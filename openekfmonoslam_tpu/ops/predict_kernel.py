@@ -171,6 +171,13 @@ def predict_pallas(P: jnp.ndarray, x: jnp.ndarray, dt: float, lin: float,
     return xout.reshape(N), pout
 
 
+# Whole-P-in-VMEM bound: the aliased (N, N) f32 block must fit the
+# 128 MB v5e VMEM alongside the strip temporaries; N=4096 (64 MB)
+# compiles and runs, N=8192 (256 MB) is rejected by Mosaic.
+_MAX_N = 4096
+
+
 def predict_kernel_applicable(P: jnp.ndarray) -> bool:
     return (P.dtype == jnp.float32 and P.shape[0] % _LANE == 0
+            and P.shape[0] <= _MAX_N
             and jax.default_backend() == "tpu")

@@ -126,7 +126,8 @@ def parse_collectives(hlo: str):
 
 def account(hlo: str, n: int, label: str, verbose: bool = False) -> dict:
     ops = parse_collectives(hlo)
-    full_p = len(re.findall(rf"all-gather[^\n]*f64\[{n},{n}\]", hlo))
+    full_p = len(re.findall(
+        rf"all-gather[^\n]*f(?:64|32)\[{n},{n}\]", hlo))
     steady = sum(o["per_device"] for o in ops if not o["conditional"])
     rare = sum(o["per_device"] for o in ops if o["conditional"])
     result_total = sum(o["result_bytes"] for o in ops)
@@ -152,14 +153,17 @@ def account(hlo: str, n: int, label: str, verbose: bool = False) -> dict:
                 n_collectives=len(ops))
 
 
-def make_cfg(max_features: int) -> SlamConfig:
+def make_cfg(max_features: int, dtype: str = "float64") -> SlamConfig:
     cam = CameraCalibration(
         pixels_x=640, pixels_y=480, cx=320.0, cy=240.0)
     return SlamConfig(camera=cam, max_features=max_features,
-                      max_keypoints=256, dtype="float64", pad_state_to=128)
+                      max_keypoints=256, dtype=dtype, pad_state_to=128)
 
 
-def compile_hlo(cfg: SlamConfig, mesh_kind: str) -> str:
+def compile_hlo(cfg: SlamConfig, mesh_kind: str, execute: bool = False
+                ) -> str:
+    import time
+
     rt = SlamRuntime(cfg)
     img = jnp.zeros((cfg.camera.pixels_y, cfg.camera.pixels_x), jnp.uint8)
     if mesh_kind == "1d":
@@ -170,21 +174,46 @@ def compile_hlo(cfg: SlamConfig, mesh_kind: str) -> str:
         mesh = make_mesh_2d(jax.devices()[:N_DEV], (2, 4))
         state = shard_state_2d(rt.make_initial_state(), mesh)
         fn = make_sharded_step_2d(rt, mesh)
-    return fn.lower(state, img).compile().as_text()
+    compiled = fn.lower(state, img).compile()
+    if execute:
+        # actually RUN the sharded step at this size on the virtual mesh
+        # (collective shapes/replica groups are exact; only link speed
+        # differs from real ICI): proves the pod-scale map program
+        # executes, not merely compiles
+        t0 = time.perf_counter()
+        state2, rec = compiled(state, img)
+        jax.block_until_ready(state2.x)
+        wall = time.perf_counter() - t0
+        assert bool(jnp.all(jnp.isfinite(state2.x)))
+        assert bool(jnp.all(jnp.isfinite(state2.P)))
+        print(f"    executed 1 sharded step: {wall:.1f} s wall "
+              f"(2-core host; finiteness asserted)")
+    return compiled.as_text()
 
 
 def main():
     verbose = "-v" in sys.argv
     big = "--big" in sys.argv
-    sizes = [96] + ([275] if big else [])   # N = 640, 1664
+    huge = "--huge" in sys.argv
+    # (max_features, dtype, execute): f64 at the production sizes keeps
+    # round-3/4 comparability; the pod-scale points run the f32
+    # production dtype AND execute a real step on the virtual mesh
+    sizes = [(96, "float64", False)]
+    if big:
+        sizes.append((275, "float64", False))
+    if huge:
+        sizes += [(1360, "float32", True), (2707, "float32", True)]
     rows = []
-    for mf in sizes:
-        cfg = make_cfg(mf)
+    for mf, dtype, execute in sizes:
+        cfg = make_cfg(mf, dtype)
         n = cfg.padded_state_dim
         for mesh_kind in ("1d", "2d"):
-            hlo = compile_hlo(cfg, mesh_kind)
-            rows.append(account(hlo, n, f"{mesh_kind} N={n}",
-                                verbose=verbose))
+            hlo = compile_hlo(cfg, mesh_kind, execute=execute)
+            row = account(hlo, n, f"{mesh_kind} N={n} {dtype}",
+                          verbose=verbose)
+            row["dtype"] = dtype
+            row["executed"] = execute
+            rows.append(row)
     # 1-D vs 2-D per-device ratio at each size
     for i in range(0, len(rows), 2):
         r1, r2 = rows[i], rows[i + 1]
@@ -194,10 +223,13 @@ def main():
               f"{ratio:.2f} x 1-D "
               f"({r2['per_device_steady']:,.0f} vs "
               f"{r1['per_device_steady']:,.0f} B/step)")
+    out = "runs/sharding_diag/summary.json"
+    if huge and not big:
+        out = "runs/sharding_diag/summary_huge.json"
     os.makedirs("runs/sharding_diag", exist_ok=True)
-    with open("runs/sharding_diag/summary.json", "w") as f:
+    with open(out, "w") as f:
         json.dump(rows, f, indent=2)
-    print("wrote runs/sharding_diag/summary.json")
+    print(f"wrote {out}")
 
 
 if __name__ == "__main__":
