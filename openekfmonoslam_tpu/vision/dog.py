@@ -61,8 +61,19 @@ def _downsample2(img: jnp.ndarray) -> jnp.ndarray:
 
 def _upsample_to(img: jnp.ndarray, h: int, w: int, factor: int
                  ) -> jnp.ndarray:
+    """Nearest-upsample a level-``l`` map to level-0 shape, CENTER-aligned.
+
+    A coarse pixel (i, j) produced by repeated 2x2 averaging has its
+    center at level-0 coordinate (f*i + (f-1)/2): plain repeat leaves the
+    block top-left-aligned, so a level-3 detection lands up to 7 px away
+    from the corner it scored.  Shifting the upsampled map by (f-1)//2
+    puts each block (nearly) over its receptive field.
+    """
     if factor > 1:
         img = jnp.repeat(jnp.repeat(img, factor, axis=0), factor, axis=1)
+        s = (factor - 1) // 2
+        if s:
+            img = jnp.pad(img, ((s, 0), (s, 0)))
     return jnp.pad(img, ((0, max(0, h - img.shape[0])),
                          (0, max(0, w - img.shape[1]))))[:h, :w]
 
