@@ -200,6 +200,9 @@ class SlamConfig:
     # Run the feature-init chain + hand-derived Jacobians as ONE Pallas
     # kernel on TPU f32 (ops/init_kernel.py).
     init_kernel: bool = True
+    # Compute the dense BRIEF bit-planes as ONE Pallas kernel on TPU f32
+    # (ops/brief_kernel.py, bit-exact with the XLA chain).
+    brief_kernel: bool = True
     # H P / H P H^T assembly layout (filter/measure.hp_products):
     # "blocks" = block-sparse strips (single-chip default, fewest FLOPs);
     # "dense" = dense-H matmuls whose contractions partition cleanly when

@@ -164,8 +164,17 @@ def _add_features_impl(state: SlamState, camera: Camera, config: SlamConfig,
                          ekf.inverse_depth_rho_sd ** 2], dtype=dtype)
 
     P = state.P
-    P77 = P[:7, :7]
-    rows = jnp.einsum("cij,jn->cin", J1, P[:7, :])        # (C, 6, N)
+    # The camera strip P[:7, :] is all this branch reads of P.  Read it
+    # through an optimization barrier: the scan carry keeps P in the
+    # column-major layout the update kernels prefer, and without the
+    # barrier XLA's layout assignment resolved the row-slice by
+    # TRANSPOSING ALL OF P -- hoisted out of the rare-path cond, so every
+    # steady-state frame paid a 1.6 MB HBM->VMEM round-trip + transpose
+    # (measured 68 us/frame of async slice DMAs on the round-5 trace).
+    # The barrier pins the conflict to a (7, N) copy instead.
+    p7 = jax.lax.optimization_barrier(jax.lax.slice(P, (0, 0), (7, N)))
+    P77 = p7[:, :7]
+    rows = jnp.einsum("cij,jn->cin", J1, p7)              # (C, 6, N)
     B = jnp.einsum("cij,jk->cik", J1, P77)                # (C, 6, 7)
     cross = jnp.einsum("cik,djk->cidj", B, J1)            # (C, 6, C, 6)
     noise = jnp.einsum("cik,k,cjk->cij", J2, r_add, J2)   # (C, 6, 6)

@@ -81,11 +81,12 @@ def _sharded_runtime(runtime: SlamRuntime) -> SlamRuntime:
     want_dense = cfg.hp_layout != "dense" and n_dims >= 1024
     if (not want_dense and not cfg.measure_kernel
             and not cfg.update_kernel and not cfg.predict_kernel
-            and not cfg.star_kernel and not cfg.init_kernel):
+            and not cfg.star_kernel and not cfg.init_kernel
+            and not cfg.brief_kernel):
         return runtime
     repl = {"measure_kernel": False, "update_kernel": False,
             "predict_kernel": False, "star_kernel": False,
-            "init_kernel": False}
+            "init_kernel": False, "brief_kernel": False}
     if want_dense:
         repl["hp_layout"] = "dense"
     return _RT(dataclasses.replace(cfg, **repl))

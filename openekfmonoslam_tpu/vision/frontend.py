@@ -125,8 +125,17 @@ class Frontend:
             if self.desc_kind == "BRIEF":
                 # dense bit-planes: per-keypoint extraction is an 8-word
                 # gather (the TPU fast path)
-                aux["planes"] = brief.dense_descriptors_shared(
-                    smoothed, self._points_np, self._pairs_np)
+                from openekfmonoslam_tpu.ops.brief_kernel import (
+                    brief_kernel_applicable, dense_planes_pallas)
+                if (cfg.brief_kernel
+                        and brief_kernel_applicable(smoothed,
+                                                    self._points_np)):
+                    # ONE Pallas launch, bit-exact with the XLA chain
+                    aux["planes"] = dense_planes_pallas(
+                        smoothed, self._points_np, self._pairs_np)
+                else:
+                    aux["planes"] = brief.dense_descriptors_shared(
+                        smoothed, self._points_np, self._pairs_np)
             elif self.desc_kind == "ORB":
                 aux["smoothed"] = smoothed
                 m10, m01 = orb_mod.centroid_moment_maps(
