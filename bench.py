@@ -22,8 +22,12 @@ import numpy as np
 BASELINE_FPS = 2.5
 FRAMES_DIR = "/root/reference/experiments/s3/costado_recto1"
 CONFIG = "/root/reference/experiments/s3/config.yml"
-N_FRAMES = 240
-CHUNK = 64
+N_FRAMES = 704          # full bundled sequence (also measured)
+N_WINDOW = 240          # the steady-state window of rounds 1-4: THE
+                        # headline series (81.7 -> ... -> 2032 fps is
+                        # like-for-like); the late-sequence frames carry
+                        # more map churn, so the full-sequence fps is
+                        # reported alongside in detail.fps_full_sequence
 
 
 def load_frames(n):
@@ -59,32 +63,31 @@ def main():
     state0 = init_fn(state0, jnp.asarray(frames[0]))
     jax.block_until_ready(state0.x)
 
-    rest = frames[1:]
-    n_chunks = len(rest) // CHUNK
-    chunks = [jnp.asarray(rest[i * CHUNK:(i + 1) * CHUNK])
-              for i in range(n_chunks)]
+    window = jnp.asarray(frames[1:N_WINDOW])
+    full = jnp.asarray(frames[1:])
 
-    # warmup/compile on the first chunk
-    st, _ = scan_fn(state0, chunks[0])
-    jax.block_until_ready(st.x)
-
-    # median of REPEATS timed passes over the whole sequence: the tunneled
-    # chip shows +-20% run-to-run variance, a single pass is not a number
-    # (VERDICT r2 weak #4)
-    REPEATS = 7
-    n_done = n_chunks * CHUNK
-    times, last = [], None
-    for _ in range(REPEATS):
-        t0 = time.perf_counter()
-        st = state0
-        for c in chunks:
-            st, rec = scan_fn(st, c)
-            last = rec
+    def timed(chunk):
+        # warmup/compile, then median of REPEATS single-call passes: the
+        # tunneled chip shows run-to-run variance, a single pass is not a
+        # number (VERDICT r2 weak #4); ONE scan call per pass keeps the
+        # tunnel's fixed dispatch latency amortized over the whole chunk
+        st, rec = scan_fn(state0, chunk)
         jax.block_until_ready(st.x)
-        times.append(time.perf_counter() - t0)
+        times = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            st, rec = scan_fn(state0, chunk)
+            jax.block_until_ready(st.x)
+            times.append(time.perf_counter() - t0)
+        return np.asarray(times), rec
 
+    REPEATS = 7
+    times, last = timed(window)
+    n_done = int(window.shape[0])
     dt = float(np.median(times))
     fps = n_done / dt
+    times_f, _ = timed(full)
+    fps_full = float(full.shape[0] / np.median(times_f))
     matches = float(np.mean(np.asarray(last.total_matches)))
 
     print(json.dumps({
@@ -96,8 +99,10 @@ def main():
             "frames": n_done,
             "seconds_median": round(dt, 3),
             "repeats": REPEATS,
-            "fps_min": round(n_done / max(times), 2),
-            "fps_max": round(n_done / min(times), 2),
+            "fps_min": round(n_done / float(max(times)), 2),
+            "fps_max": round(n_done / float(min(times)), 2),
+            "fps_full_sequence": round(fps_full, 2),
+            "frames_full_sequence": int(full.shape[0]),
             "mean_matches_last_chunk": round(matches, 1),
             "state_dim": cfg.state_dim,
             "baseline_fps": BASELINE_FPS,

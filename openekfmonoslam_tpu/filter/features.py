@@ -212,6 +212,14 @@ def _add_features_impl(state: SlamState, camera: Camera, config: SlamConfig,
     A_ext = jnp.concatenate([flat_rows, jnp.zeros((1, N), dtype)], axis=0)
     AT_ext = jnp.concatenate([flat_rows.T, jnp.zeros((N, 1), dtype)], axis=1)
 
+    # The (N, N) row/col placement gathers below are rare-path work, but
+    # XLA's latency scheduler hoisted them (plus full-P VMEM copies) out
+    # of the cond into every steady-state frame (~25 us/frame on the
+    # round-5 trace).  The barrier gives them a branch-local data
+    # dependence the scheduler cannot move across; it is sharding- and
+    # value-transparent.
+    P, A_ext, AT_ext, idx_map = jax.lax.optimization_barrier(
+        (P, A_ext, AT_ext, idx_map))
     Pn = jnp.where(wrote[:, None], A_ext[idx_map, :], P)
     P_new = jnp.where(wrote[None, :], AT_ext[:, idx_map], Pn)
 

@@ -183,7 +183,11 @@ def _convert_slot(state: SlamState, slot: jnp.ndarray,
     # filter.shardable: a one-hot psum for the row strip and predicate
     # selects for the writes, never a dynamic slice along P's (possibly
     # row-sharded) leading dim -- bit-exact, zero full-P communication.
-    P = state.P
+    # Rare-path work: barrier P so XLA's latency scheduler cannot hoist
+    # the (N, N) strip extraction + full-P VMEM copies out of the
+    # conversion cond into every steady-state frame (same fix as
+    # features._add_features_impl, measured on the round-5 trace).
+    P = jax.lax.optimization_barrier(state.P)
     N = P.shape[0]
     off = (CAM_DIM + FEAT_DIM * slot).astype(jnp.int32)
     rows6 = shardable.select_rows(P, off, FEAT_DIM)        # (6, N)
