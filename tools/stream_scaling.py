@@ -5,6 +5,8 @@ streams per chip through parallel/batch_runner.batched_step (rare paths
 gated at batch level), 64-frame scans over real s3 frames.
 
 Run: python tools/stream_scaling.py [B ...]     (default 1 4 8 16)
+192-frame scans: ONE scan call per timed pass so the tunneled client's
+fixed dispatch latency stays amortized (same methodology as bench.py).
 """
 
 import dataclasses
@@ -28,7 +30,7 @@ from openekfmonoslam_tpu.parallel.batch_runner import (batched_step,
                                                        make_batch_states,
                                                        make_batched_init)
 
-T = 64
+T = 192
 
 
 def main():
